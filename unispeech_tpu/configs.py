@@ -1,0 +1,203 @@
+"""Typed configuration dataclasses for the TPU-native UniSpeech-family stack.
+
+Replaces the reference's hydra/omegaconf + argparse flag system
+(/root/reference/src/fairseq/dataclass/configs.py) with plain Python
+dataclasses: configs are constructed in code or loaded from JSON/YAML-free
+dicts, cross-references are resolved explicitly at build time instead of
+OmegaConf `II(...)` interpolation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+# Conv frontend spec: list of (dim, kernel, stride).
+# Matches reference default "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"
+# (/root/reference/WavLM/WavLM.py:173) -> 320x downsample, 50 Hz frame rate.
+DEFAULT_CONV_LAYERS: Tuple[Tuple[int, int, int], ...] = (
+    (512, 10, 5),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 2, 2),
+    (512, 2, 2),
+)
+
+
+@dataclass(frozen=True)
+class MaskConfig:
+    """Span-mask sampling config (time or channel axis).
+
+    Mirrors the masking fields of WavLMConfig
+    (/root/reference/WavLM/WavLM.py:188-201) but formulated for a
+    shape-static on-device sampler (see ops/masking.py).
+    """
+
+    mask_prob: float = 0.65
+    mask_length: int = 10
+    mask_selection: str = "static"  # static|uniform|normal|poisson
+    mask_other: float = 0.0
+    min_masks: int = 2
+    # no_overlap/min_space intentionally unsupported on-device (reference
+    # recipes never enable them); the sampler allows overlaps like the
+    # reference default path.
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Shared conv-frontend + transformer encoder configuration.
+
+    Field-for-field coverage of the architectural part of WavLMConfig
+    (/root/reference/WavLM/WavLM.py:162-214); the same skeleton backs
+    wav2vec2/UniSpeech/HuBERT/UniSpeech-SAT/WavLM.
+    """
+
+    # conv feature extractor
+    conv_layers: Tuple[Tuple[int, int, int], ...] = DEFAULT_CONV_LAYERS
+    extractor_mode: str = "default"  # default (groupnorm 1st block) | layer_norm
+    conv_bias: bool = False
+    feature_grad_mult: float = 1.0
+
+    # transformer
+    encoder_layers: int = 12
+    encoder_embed_dim: int = 768
+    encoder_ffn_embed_dim: int = 3072
+    encoder_attention_heads: int = 12
+    activation_fn: str = "gelu"  # gelu | gelu_accurate | relu | glu (GLU FFN)
+    layer_norm_first: bool = False
+    layer_norm_eps: float = 1e-5  # torch default; flax default (1e-6) differs!
+
+    # dropouts
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    encoder_layerdrop: float = 0.0
+    dropout_input: float = 0.0
+    dropout_features: float = 0.0
+
+    # conv positional embedding
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+
+    # WavLM bucketed relative position bias (+ GRU gate)
+    relative_position_embedding: bool = False
+    num_buckets: int = 320
+    max_distance: int = 1280
+    gru_rel_pos: bool = False
+
+    # input normalization (matched to extractor_mode=layer_norm in recipes)
+    normalize: bool = False
+
+    @property
+    def frame_hop(self) -> int:
+        hop = 1
+        for _, _, s in self.conv_layers:
+            hop *= s
+        return hop
+
+    @property
+    def frame_receptive_field(self) -> int:
+        rf = 1
+        for _, k, s in reversed(self.conv_layers):
+            rf = (rf - 1) * s + k
+        return rf
+
+    def num_frames(self, num_samples: int) -> int:
+        t = num_samples
+        for _, k, s in self.conv_layers:
+            t = (t - k) // s + 1
+        return t
+
+
+def base_encoder_config(**over: Any) -> EncoderConfig:
+    """WavLM/HuBERT Base shape: 12L/768d/12h/3072ffn."""
+    return dataclasses.replace(EncoderConfig(), **over)
+
+
+def large_encoder_config(**over: Any) -> EncoderConfig:
+    """Large shape: 24L/1024d/16h/4096ffn, layer_norm extractor, pre-LN."""
+    cfg = EncoderConfig(
+        encoder_layers=24,
+        encoder_embed_dim=1024,
+        encoder_ffn_embed_dim=4096,
+        encoder_attention_heads=16,
+        layer_norm_first=True,
+        extractor_mode="layer_norm",
+        normalize=True,
+    )
+    return dataclasses.replace(cfg, **over)
+
+
+@dataclass(frozen=True)
+class WavLMModelConfig:
+    """Full WavLM(-style) model config wrapping the shared encoder.
+
+    Parity target: /root/reference/WavLM/WavLM.py:162 (WavLMConfig).
+    """
+
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    time_mask: MaskConfig = field(default_factory=MaskConfig)
+    channel_mask: MaskConfig = field(
+        default_factory=lambda: MaskConfig(mask_prob=0.0, mask_length=10, min_masks=0)
+    )
+
+    @staticmethod
+    def from_reference_dict(d: dict) -> "WavLMModelConfig":
+        """Build from a reference `ckpt['cfg']` dict (WavLM.py:213-217)."""
+        enc_fields = {f.name for f in dataclasses.fields(EncoderConfig)}
+        enc_kwargs = {k: v for k, v in d.items() if k in enc_fields}
+        if "conv_feature_layers" in d:
+            layers = d["conv_feature_layers"]
+            if isinstance(layers, str):
+                layers = eval_conv_spec(layers)
+            enc_kwargs["conv_layers"] = tuple(tuple(l) for l in layers)
+        enc = EncoderConfig(**enc_kwargs)
+        tm = MaskConfig(
+            mask_prob=d.get("mask_prob", 0.65),
+            mask_length=d.get("mask_length", 10),
+            mask_selection=d.get("mask_selection", "static"),
+            mask_other=d.get("mask_other", 0.0),
+            min_masks=2,
+        )
+        cm = MaskConfig(
+            mask_prob=d.get("mask_channel_prob", 0.0),
+            mask_length=d.get("mask_channel_length", 10),
+            mask_selection=d.get("mask_channel_selection", "static"),
+            mask_other=d.get("mask_channel_other", 0.0),
+            min_masks=0,
+        )
+        return WavLMModelConfig(encoder=enc, time_mask=tm, channel_mask=cm)
+
+
+def eval_conv_spec(spec: str) -> Tuple[Tuple[int, int, int], ...]:
+    """Safely evaluate a conv layer spec string like
+    "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"
+    (reference stores these as python-eval'd strings, WavLM.py:229).
+    Only list/tuple/int literals with + and * are allowed.
+    """
+    import ast
+
+    node = ast.parse(spec, mode="eval").body
+
+    def ev(n):
+        if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Add):
+            return ev(n.left) + ev(n.right)
+        if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Mult):
+            left, right = ev(n.left), ev(n.right)
+            if isinstance(left, list):
+                return left * right
+            return right * left
+        if isinstance(n, ast.List):
+            return [ev(e) for e in n.elts]
+        if isinstance(n, ast.Tuple):
+            return tuple(ev(e) for e in n.elts)
+        if isinstance(n, ast.Constant) and isinstance(n.value, int):
+            return n.value
+        raise ValueError(f"disallowed node in conv spec: {ast.dump(n)}")
+
+    out = ev(node)
+    return tuple(tuple(l) for l in out)

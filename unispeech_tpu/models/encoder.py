@@ -1,0 +1,468 @@
+"""Shared conv-frontend + transformer encoder for the UniSpeech family.
+
+Brand-new flax.linen implementation of the encoder skeleton every model in
+the family shares (wav2vec2 / UniSpeech / HuBERT / UniSpeech-SAT / WavLM):
+strided-conv waveform frontend -> conv positional embedding -> pre/post-LN
+transformer with optional WavLM gated bucketed relative-position-bias
+attention.
+
+Parity reference (behavior, not code): /root/reference/WavLM/WavLM.py:378-743
+and /root/reference/WavLM/modules.py:303-763. Design departures for TPU:
+  * (B, T, C) layout throughout (no T-major transposes); XLA handles layout.
+  * rel-pos bias table owned by the encoder (reference stores it inside layer
+    0's attention); computed once per forward and shared by all layers.
+  * fp32 islands: all norms, softmax, GELU and the rel-pos gate run in fp32
+    while matmuls run in the configured compute dtype (bf16 on TPU).
+  * no dynamic shapes: padding handled by masks, never boolean indexing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unispeech_tpu.configs import EncoderConfig
+from unispeech_tpu.ops.attention import gated_position_bias, multihead_attention
+from unispeech_tpu.ops.rel_pos import compute_rel_pos_bias
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# small building blocks
+# ---------------------------------------------------------------------------
+
+
+def gelu_fp32(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU computed in fp32, like reference `gelu`
+    (/root/reference/WavLM/modules.py:140-141)."""
+    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+
+
+def gelu_accurate(x: jax.Array) -> jax.Array:
+    """tanh-approximated GELU (/root/reference/WavLM/modules.py:132-137)."""
+    xf = x.astype(jnp.float32)
+    return (jax.nn.gelu(xf, approximate=True)).astype(x.dtype)
+
+
+def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    if name == "gelu":
+        return gelu_fp32
+    if name == "gelu_accurate" or name == "gelu_fast":
+        return gelu_accurate
+    if name == "relu":
+        return jax.nn.relu
+    if name == "swish":
+        return jax.nn.swish
+    if name == "tanh":
+        return jnp.tanh
+    if name in ("linear", "glu"):
+        return lambda x: x
+    raise ValueError(f"unknown activation {name}")
+
+
+class Fp32LayerNorm(nn.Module):
+    """LayerNorm computed in fp32 regardless of input dtype
+    (/root/reference/WavLM/modules.py:30-42). eps matches torch (1e-5)."""
+
+    eps: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+            y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+            y = y + bias
+        return y.astype(x.dtype)
+
+
+class Fp32GroupNorm(nn.Module):
+    """GroupNorm in fp32 on (B, T, C) arrays.
+
+    Reference uses torch GroupNorm(dim, dim) on (B, C, T)
+    (/root/reference/WavLM/WavLM.py:424, modules.py:45-57): with
+    num_groups == channels each channel is normalized over time alone.
+    """
+
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, T, C = x.shape
+        assert C % self.num_groups == 0
+        xf = x.astype(jnp.float32).reshape(B, T, self.num_groups, C // self.num_groups)
+        # normalize over (time, channels-in-group)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(B, T, C)
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def grad_multiply(x: jax.Array, scale: float) -> jax.Array:
+    return x
+
+
+def _grad_multiply_fwd(x, scale):
+    return x, scale
+
+
+def _grad_multiply_bwd(scale, g):
+    return (g * scale, None)
+
+
+grad_multiply.defvjp(_grad_multiply_fwd, _grad_multiply_bwd)
+"""Identity forward, scaled gradient (/root/reference/WavLM/modules.py:60-69).
+Used for feature_grad_mult on the conv frontend."""
+
+
+# ---------------------------------------------------------------------------
+# conv feature extractor
+# ---------------------------------------------------------------------------
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Strided conv1d stack turning waveform (B, T) into frames (B, T', C).
+
+    Behavior parity with reference ConvFeatureExtractionModel "default" and
+    "layer_norm" modes (/root/reference/WavLM/WavLM.py:378-504): valid (no)
+    padding, kaiming-normal init, fp32 group/layer norms, exact GELU.
+    """
+
+    cfg: EncoderConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert x.ndim == 2, "expect raw waveform (B, T_samples)"
+        h = x[:, :, None].astype(self.dtype)  # (B, T, 1)
+        mode = self.cfg.extractor_mode
+        for i, (dim, k, stride) in enumerate(self.cfg.conv_layers):
+            h = nn.Conv(
+                features=dim,
+                kernel_size=(k,),
+                strides=(stride,),
+                padding="VALID",
+                use_bias=self.cfg.conv_bias,
+                kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"conv_{i}",
+            )(h)
+            if mode == "layer_norm":
+                h = Fp32LayerNorm(name=f"ln_{i}")(h)
+            elif mode == "default" and i == 0:
+                h = Fp32GroupNorm(num_groups=dim, name="gn_0")(h)
+            h = gelu_fp32(h)
+        return h  # (B, T_frames, C)
+
+
+class PosConv(nn.Module):
+    """Grouped conv positional embedding with weight normalization.
+
+    Reference: /root/reference/WavLM/WavLM.py:514-527 — Conv1d(k=conv_pos,
+    groups=conv_pos_groups, padding=conv_pos//2), weight_norm over dim=2
+    (per-kernel-position magnitude g), SamePad trim (even kernel drops the
+    last output frame), then exact GELU.
+    """
+
+    cfg: EncoderConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = self.cfg.encoder_embed_dim
+        K = self.cfg.conv_pos
+        G = self.cfg.conv_pos_groups
+        in_per_group = C // G
+
+        import math
+
+        std = math.sqrt(4.0 / (K * C))
+        v = self.param(
+            "v",
+            nn.initializers.normal(stddev=std),
+            (K, in_per_group, C),
+            jnp.float32,
+        )
+        # g initialized to ||v|| per kernel position so weight == v at init
+        g = self.param(
+            "g",
+            lambda rng: jnp.sqrt((v**2).sum(axis=(1, 2))),
+        )
+        norm = jnp.sqrt((v.astype(jnp.float32) ** 2).sum(axis=(1, 2), keepdims=True))
+        w = (g[:, None, None] / jnp.maximum(norm, 1e-12)) * v  # (K, Cin/G, C)
+        b = self.param("b", nn.initializers.zeros, (C,), jnp.float32)
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(1,),
+            padding=[(K // 2, K // 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=G,
+        )
+        y = y + b.astype(self.dtype)
+        if K % 2 == 0:  # SamePad: even kernel -> drop trailing frame
+            y = y[:, :-1, :]
+        return gelu_fp32(y)
+
+
+# ---------------------------------------------------------------------------
+# transformer encoder layer
+# ---------------------------------------------------------------------------
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with optional gated rel-pos bias.
+
+    Parameter layout mirrors q/k/v/out projection split of the reference
+    (/root/reference/WavLM/modules.py:366-378) for 1:1 checkpoint mapping.
+    """
+
+    cfg: EncoderConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, T, D)
+        position_bias: Optional[jax.Array],  # (H, T, S) ungated shared bias
+        key_padding_mask: Optional[jax.Array],  # (B, S) True = pad
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        D = cfg.encoder_embed_dim
+        H = cfg.encoder_attention_heads
+        hd = D // H
+
+        # init_bert_params overrides every encoder linear to normal(0.02)
+        # (/root/reference/WavLM/modules.py:168-200; applied at WavLM.py:562)
+        dense = lambda name: nn.Dense(
+            D,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.02),
+            name=name,
+        )
+        q = dense("q_proj")(x).reshape(*x.shape[:2], H, hd)
+        k = dense("k_proj")(x).reshape(*x.shape[:2], H, hd)
+        v = dense("v_proj")(x).reshape(*x.shape[:2], H, hd)
+
+        bias = None
+        if position_bias is not None:
+            if cfg.gru_rel_pos:
+                grep_w = self.param(
+                    "grep_w", nn.initializers.normal(0.02), (hd, 8), jnp.float32
+                )
+                grep_b = self.param("grep_b", nn.initializers.zeros, (8,), jnp.float32)
+                grep_a = self.param(
+                    "grep_a", nn.initializers.ones, (1, H, 1, 1), jnp.float32
+                )
+                bias = gated_position_bias(
+                    x, position_bias, grep_w, grep_b, grep_a, H
+                )
+            else:
+                bias = position_bias
+
+        dropout_rng = None
+        if cfg.attention_dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+        out = multihead_attention(
+            q,
+            k,
+            v,
+            bias=bias,
+            key_padding_mask=key_padding_mask,
+            dropout_rng=dropout_rng,
+            dropout_rate=cfg.attention_dropout,
+            deterministic=deterministic,
+        )
+        out = out.reshape(*x.shape[:2], D)
+        return dense("out_proj")(out)
+
+
+class GLULinear(nn.Module):
+    """GLU feed-forward in (x_a * act(x_b)) form
+    (/root/reference/WavLM/modules.py:99-129)."""
+
+    features: int
+    glu_type: str = "swish"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.Dense(
+            self.features * 2,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.02),
+            name="linear",
+        )(x)
+        a, b = y[..., : self.features], y[..., self.features :]
+        act = get_activation(self.glu_type)
+        return a * act(b)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre- or post-LN transformer layer
+    (/root/reference/WavLM/WavLM.py:615-742)."""
+
+    cfg: EncoderConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        position_bias: Optional[jax.Array],
+        key_padding_mask: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        act = get_activation(cfg.activation_fn)
+        drop = lambda rate, h: (
+            h
+            if deterministic or rate == 0.0
+            else nn.Dropout(rate=rate, deterministic=False)(h)
+        )
+        attn = lambda h: SelfAttention(cfg, dtype=self.dtype, name="self_attn")(
+            h, position_bias, key_padding_mask, deterministic
+        )
+
+        def ffn(h):
+            if cfg.activation_fn == "glu":
+                h = GLULinear(
+                    cfg.encoder_ffn_embed_dim, "swish", dtype=self.dtype, name="fc1"
+                )(h)
+            else:
+                h = nn.Dense(
+                    cfg.encoder_ffn_embed_dim,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    kernel_init=nn.initializers.normal(0.02),
+                    name="fc1",
+                )(h)
+                h = act(h)
+            h = drop(cfg.activation_dropout, h)
+            h = nn.Dense(
+                cfg.encoder_embed_dim,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.02),
+                name="fc2",
+            )(h)
+            return h
+
+        ln1 = Fp32LayerNorm(eps=cfg.layer_norm_eps, name="self_attn_layer_norm")
+        ln2 = Fp32LayerNorm(eps=cfg.layer_norm_eps, name="final_layer_norm")
+
+        if cfg.layer_norm_first:
+            x = x + drop(cfg.dropout, attn(ln1(x)))
+            x = x + drop(cfg.dropout, ffn(ln2(x)))
+        else:
+            x = ln1(x + drop(cfg.dropout, attn(x)))
+            x = ln2(x + drop(cfg.dropout, ffn(x)))
+        return x
+
+
+# ---------------------------------------------------------------------------
+# full encoder
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EncoderOutput:
+    x: jax.Array  # (B, T, D) final output
+    layer_outputs: Optional[jax.Array]  # (L+1, B, T, D) inputs to each layer + final
+    position_bias: Optional[jax.Array]
+
+
+class TransformerEncoder(nn.Module):
+    """Transformer over frame features with conv positional embedding.
+
+    Reference: /root/reference/WavLM/WavLM.py:507-612. `layer_outputs[i]` is
+    the hidden state *entering* layer i (i=0 is the post-pos-conv embedding),
+    and `layer_outputs[L]` is the final layer's output — matching the
+    reference's `layer_results` convention when `ret_layer_results=True`.
+    """
+
+    cfg: EncoderConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, T, D)
+        padding_mask: Optional[jax.Array] = None,  # (B, T) True = pad
+        deterministic: bool = True,
+        collect_layer_outputs: bool = False,
+        output_layer: Optional[int] = None,  # 1-based: stop after this layer
+    ) -> EncoderOutput:
+        cfg = self.cfg
+
+        if padding_mask is not None:
+            x = jnp.where(padding_mask[..., None], 0.0, x)
+
+        x = x + PosConv(cfg, dtype=self.dtype, name="pos_conv")(x)
+
+        if not cfg.layer_norm_first:
+            x = Fp32LayerNorm(eps=cfg.layer_norm_eps, name="layer_norm")(x)
+
+        if cfg.dropout > 0.0 and not deterministic:
+            x = nn.Dropout(rate=cfg.dropout, deterministic=False)(x)
+
+        position_bias = None
+        if cfg.relative_position_embedding:
+            table = self.param(
+                "rel_attn_bias",
+                nn.initializers.normal(0.02),
+                (cfg.num_buckets, cfg.encoder_attention_heads),
+                jnp.float32,
+            )
+            T = x.shape[1]
+            position_bias = compute_rel_pos_bias(
+                table, T, T, cfg.num_buckets, cfg.max_distance
+            ).astype(jnp.float32)
+
+        n_layers = cfg.encoder_layers if output_layer is None else output_layer
+        outputs = []
+        for i in range(cfg.encoder_layers):
+            if i >= n_layers:
+                break
+            if collect_layer_outputs:
+                outputs.append(x)
+            y = TransformerEncoderLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
+                x, position_bias, padding_mask, deterministic
+            )
+            if cfg.encoder_layerdrop > 0.0 and not deterministic:
+                rng = self.make_rng("layerdrop")
+                keep = jax.random.uniform(rng, ()) > cfg.encoder_layerdrop
+                y = jnp.where(keep, y, x)
+            x = y
+
+        if cfg.layer_norm_first and output_layer is None:
+            x = Fp32LayerNorm(eps=cfg.layer_norm_eps, name="layer_norm")(x)
+
+        if collect_layer_outputs:
+            outputs.append(x)
+            layer_outputs = jnp.stack(outputs, axis=0)
+        else:
+            layer_outputs = None
+        return EncoderOutput(x=x, layer_outputs=layer_outputs, position_bias=position_bias)

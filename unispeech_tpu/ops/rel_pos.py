@@ -1,0 +1,77 @@
+"""T5-style bucketed relative position bias (WavLM variant).
+
+Pure-function reimplementation of the bucketing + bias lookup used by WavLM's
+attention (reference: /root/reference/WavLM/modules.py:417-455). The bias is
+computed once per forward (layer 0 in the reference owns the embedding table;
+here the encoder owns it) and shared by all layers; each layer then applies
+its own query-conditioned GRU gate (see ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def relative_position_bucket(
+    relative_position: jax.Array,
+    num_buckets: int,
+    max_distance: int,
+    bidirectional: bool = True,
+) -> jax.Array:
+    """Map signed relative positions to bucket ids.
+
+    Matches reference `_relative_positions_bucket`
+    (/root/reference/WavLM/modules.py:417-442) exactly on integer outputs:
+    bidirectional split (half the buckets per sign), exact buckets up to
+    ``num_buckets//4``, then log-spaced up to ``max_distance``.
+    """
+    ret = jnp.zeros_like(relative_position)
+    n = relative_position
+    if bidirectional:
+        num_buckets = num_buckets // 2
+        ret = ret + (n > 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = -jnp.minimum(n, 0)
+
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+
+    # log-bucketed for large distances; guard log(0) with a floor of 1
+    # (those lanes are overridden by the is_small branch).
+    n_safe = jnp.maximum(n, 1).astype(jnp.float32)
+    val_if_large = max_exact + (
+        jnp.log(n_safe / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)  # trunc-toward-zero like torch .to(long) on positives
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+
+    ret = ret + jnp.where(is_small, n, val_if_large)
+    return ret
+
+
+def compute_rel_pos_bias(
+    bias_table: jax.Array,  # (num_buckets, num_heads)
+    query_length: int,
+    key_length: int,
+    num_buckets: int,
+    max_distance: int,
+) -> jax.Array:
+    """Return (num_heads, query_length, key_length) bias.
+
+    Matches reference `compute_bias` (/root/reference/WavLM/modules.py:444-455).
+    Bias is a pure table lookup -> cheap one-hot matmul on TPU; XLA turns the
+    take() into a gather which is fine at (T*S) scale once per step.
+    """
+    context = jnp.arange(query_length, dtype=jnp.int32)[:, None]
+    memory = jnp.arange(key_length, dtype=jnp.int32)[None, :]
+    relative_position = memory - context  # (T, S)
+    buckets = relative_position_bucket(
+        relative_position, num_buckets=num_buckets, max_distance=max_distance
+    )
+    values = jnp.take(bias_table, buckets, axis=0)  # (T, S, H)
+    return jnp.transpose(values, (2, 0, 1))  # (H, T, S)
