@@ -1,0 +1,108 @@
+"""Sharded train step on the virtual 8-device CPU mesh.
+
+Validates the GSPMD path end-to-end: param sharding rules (TP over ffn/heads,
+FSDP over 'data'), batch sharding, the jitted update, and that the loss
+actually decreases — the TPU-native replacement for fairseq's
+DDP/FSDP/trainer stack (SURVEY.md §2.4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unispeech_tpu.configs import (
+    EncoderConfig,
+    HubertPretrainConfig,
+    MaskConfig,
+)
+from unispeech_tpu.models.hubert import HubertPretrainModel
+from unispeech_tpu.parallel.sharding import make_mesh, params_shardings
+from unispeech_tpu.train.losses import HubertCriterionConfig
+from unispeech_tpu.train.optim import OptimConfig, make_optimizer
+from unispeech_tpu.train.state import (
+    create_train_state,
+    make_train_step,
+    shard_batch,
+    shard_train_state,
+)
+from unispeech_tpu.train.tasks import make_hubert_loss_fn
+
+ENC = EncoderConfig(
+    conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+    encoder_layers=2,
+    encoder_embed_dim=64,
+    encoder_ffn_embed_dim=128,
+    encoder_attention_heads=4,
+    conv_pos=16,
+    conv_pos_groups=4,
+    dropout=0.0,
+    attention_dropout=0.0,
+    encoder_layerdrop=0.0,
+    relative_position_embedding=True,
+    num_buckets=32,
+    max_distance=64,
+    gru_rel_pos=True,
+)
+
+
+@pytest.mark.parametrize("tp,fsdp", [(1, False), (2, True)])
+def test_sharded_train_step_loss_decreases(tp, fsdp):
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(n_model=tp)
+
+    cfg = HubertPretrainConfig(
+        encoder=ENC,
+        time_mask=MaskConfig(mask_prob=0.65, mask_length=4),
+        num_classes=(13,),
+        final_dim=32,
+    )
+    model = HubertPretrainModel(cfg)
+    B, n = 8, 2000
+    T = cfg.encoder.num_frames(n)
+    rng = jax.random.PRNGKey(0)
+    wav = jax.random.normal(rng, (B, n))
+    targets = jax.random.randint(rng, (B, T, 1), 0, 13)
+    lengths = jnp.full((B,), n)
+
+    variables = model.init(
+        {"params": rng, "mask": rng}, wav[:1], targets[:1], lengths[:1],
+        mask=True, deterministic=True,
+    )
+
+    tx = make_optimizer(
+        OptimConfig(lr=2e-3, schedule="fixed", weight_decay=0.0, clip_norm=1e9)
+    )
+    state = create_train_state(variables["params"], tx)
+    state = shard_train_state(
+        state, mesh, tensor_parallel=tp > 1, fsdp=fsdp, min_fsdp_size=1024
+    )
+
+    if fsdp:
+        # check something actually got sharded over 'data'
+        shardings = params_shardings(
+            variables["params"], mesh, tensor_parallel=tp > 1, fsdp=True,
+            min_fsdp_size=1024,
+        )
+        specs = [s.spec for s in jax.tree.leaves(shardings)]
+        assert any("data" in str(s) for s in specs)
+    if tp > 1:
+        fc1 = state.params["wavlm"]["encoder"]["layer_0"]["fc1"]["kernel"]
+        assert "model" in str(fc1.sharding.spec)
+
+    loss_fn = make_hubert_loss_fn(model, HubertCriterionConfig())
+    step = make_train_step(loss_fn, tx)
+
+    batch = shard_batch(
+        {"source": wav, "targets": targets, "lengths": lengths}, mesh
+    )
+    losses = []
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.PRNGKey(42))
+            losses.append(
+                float(metrics["loss"]) / max(float(metrics["sample_size"]), 1)
+            )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

@@ -173,6 +173,109 @@ class WavLMModelConfig:
         return WavLMModelConfig(encoder=enc, time_mask=tm, channel_mask=cm)
 
 
+@dataclass(frozen=True)
+class GumbelVQConfig:
+    """Gumbel-softmax vector quantizer config
+    (/root/reference/src/fairseq/modules/gumbel_vector_quantizer.py:11)."""
+
+    num_vars: int = 320  # V codewords per group
+    groups: int = 2  # G groups
+    vq_dim: int = 256  # output dim (split across groups)
+    temp_start: float = 2.0
+    temp_min: float = 0.5
+    temp_decay: float = 0.999995
+    weight_proj_depth: int = 1
+    weight_proj_factor: int = 1
+
+    def temp_at(self, num_updates) -> float:
+        import jax.numpy as jnp
+
+        return jnp.maximum(
+            self.temp_start * self.temp_decay**num_updates, self.temp_min
+        )
+
+
+@dataclass(frozen=True)
+class HubertPretrainConfig:
+    """Masked pseudo-label prediction pretraining (HuBERT / WavLM / ILS / SAT).
+
+    Covers: HubertConfig (src/fairseq/models/hubert/hubert.py), fairseq
+    WavLMConfig (src/fairseq/models/wavlm/wavlm.py:49), ILSHubertConfig
+    (src/fairseq/models/hubert/ils_hubert.py:27), and UniSpeechSATConfig's
+    speaker-contrastive extras (src/fairseq/models/unispeech_sat/
+    unispeech_sat.py:250-297).
+    """
+
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    time_mask: MaskConfig = field(
+        default_factory=lambda: MaskConfig(mask_prob=0.8, mask_length=10)
+    )
+    channel_mask: MaskConfig = field(
+        default_factory=lambda: MaskConfig(mask_prob=0.0, min_masks=0)
+    )
+
+    label_rate: float = 50.0
+    sample_rate: int = 16000
+    num_classes: Tuple[int, ...] = (504,)  # len(dict) per label stream
+    final_dim: int = 256
+    logit_temp: float = 0.1
+    untie_final_proj: bool = False
+    target_glu: bool = False
+    skip_masked: bool = False
+    skip_nomask: bool = False
+
+    # ILS: 1-based encoder layers whose outputs get a prediction loss;
+    # empty = final output only (plain HuBERT/WavLM)
+    predict_layers: Tuple[int, ...] = ()
+    separate_label_embeds: bool = False
+    separate_layer_targets: bool = False
+
+    # UniSpeech-SAT speaker contrastive branch
+    utterance_contrastive_loss: bool = False
+    utterance_contrastive_layer: int = 6  # 1-based tap layer
+    num_instances: int = 0  # same-utterance instances
+    cross_sample_instances: int = 100  # cross-utterance instances
+    quantize_targets: bool = False  # GumbelVQ on the tapped features
+    quantizer: GumbelVQConfig = field(default_factory=GumbelVQConfig)
+
+    @property
+    def feat2tar_ratio(self) -> float:
+        return self.label_rate * self.encoder.frame_hop / self.sample_rate
+
+
+@dataclass(frozen=True)
+class Wav2Vec2PretrainConfig:
+    """wav2vec 2.0 contrastive pretraining
+    (/root/reference/src/fairseq/models/wav2vec/wav2vec2.py:Wav2Vec2Config),
+    including the UniSpeech multitask extensions (`transpose` mode returning
+    the quantized stream, replace_prob CTC mixing — unispeech.py:27-34)."""
+
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    time_mask: MaskConfig = field(
+        default_factory=lambda: MaskConfig(mask_prob=0.65, mask_length=10)
+    )
+    channel_mask: MaskConfig = field(
+        default_factory=lambda: MaskConfig(mask_prob=0.0, min_masks=0)
+    )
+
+    final_dim: int = 256
+    logit_temp: float = 0.1
+    quantize_targets: bool = True
+    quantizer: GumbelVQConfig = field(default_factory=GumbelVQConfig)
+    num_negatives: int = 100
+    cross_sample_negatives: int = 0
+    codebook_negatives: int = 0
+    negatives_from_everywhere: bool = False
+    target_glu: bool = False
+
+    # UniSpeech multitask: also produce the quantized stream for the CTC
+    # head and use transposed final projection (wav2vec2.py:185,652-653)
+    transpose: bool = False
+    replace_prob: float = 0.5  # unispeech.py:28-30
+    final_dropout: float = 0.1
+    ctc_vocab_size: int = 0  # >0 enables the phonetic CTC head
+
+
 def eval_conv_spec(spec: str) -> Tuple[Tuple[int, int, int], ...]:
     """Safely evaluate a conv layer spec string like
     "[(512,10,5)] + [(512,3,2)] * 4 + [(512,2,2)] * 2"

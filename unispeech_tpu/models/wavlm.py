@@ -37,6 +37,7 @@ class WavLMOutput:
     padding_mask: Optional[jax.Array]  # (B, T) True = pad
     mask_indices: Optional[jax.Array]  # (B, T) True = masked
     layer_outputs: Optional[jax.Array]  # (L+1, B, T, D)
+    features_pen: Optional[jax.Array] = None  # scalar: mean of squared raw conv feats
 
 
 class WavLM(nn.Module):
@@ -88,6 +89,10 @@ class WavLM(nn.Module):
                 feats = grad_multiply(feats, enc_cfg.feature_grad_mult)
             else:
                 feats = jax.lax.stop_gradient(feats)
+
+        # L2 penalty on raw conv features (reference features_pen,
+        # src/fairseq/models/wavlm/wavlm.py:486) — fp32, includes padding
+        features_pen = jnp.mean(feats.astype(jnp.float32) ** 2)
 
         conv_features = Fp32LayerNorm(eps=enc_cfg.layer_norm_eps, name="layer_norm")(
             feats
@@ -151,6 +156,7 @@ class WavLM(nn.Module):
             padding_mask=padding_mask,
             mask_indices=mask_indices,
             layer_outputs=enc_out.layer_outputs,
+            features_pen=features_pen,
         )
 
     def extract_features(

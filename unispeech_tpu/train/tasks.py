@@ -1,0 +1,111 @@
+"""Task glue: build loss_fn closures binding model + criterion.
+
+Replaces the reference task layer's train_step plumbing
+(src/fairseq/tasks/fairseq_task.py:475-516) — here a task is just a function
+from (params, batch, rng, step) to (loss_sum, sample_size, metrics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from unispeech_tpu.models.hubert import HubertPretrainModel
+from unispeech_tpu.models.wav2vec2 import Wav2Vec2PretrainModel
+from unispeech_tpu.ops.ctc import ctc_loss
+from unispeech_tpu.train.losses import (
+    HubertCriterionConfig,
+    hubert_loss,
+    wav2vec2_contrastive_loss,
+)
+
+_RNG_NAMES = ("mask", "dropout", "layerdrop", "instances", "gumbel",
+              "negatives", "replace")
+
+
+def split_rngs(rng: jax.Array) -> Dict[str, jax.Array]:
+    keys = jax.random.split(rng, len(_RNG_NAMES))
+    return dict(zip(_RNG_NAMES, keys))
+
+
+def make_hubert_loss_fn(
+    model: HubertPretrainModel, crit: HubertCriterionConfig
+):
+    """Masked-prediction pretraining objective (HuBERT/WavLM/ILS/SAT).
+
+    batch: {"source": (B, n), "targets": (B, T, num_sets),
+            "lengths": optional (B,)}
+    """
+
+    def loss_fn(params, batch, rng, step):
+        out = model.apply(
+            {"params": params},
+            batch["source"],
+            batch["targets"],
+            batch.get("lengths"),
+            mask=True,
+            deterministic=False,
+            num_updates=step,
+            rngs=split_rngs(rng),
+        )
+        return hubert_loss(out, crit)
+
+    return loss_fn
+
+
+def make_wav2vec2_loss_fn(
+    model: Wav2Vec2PretrainModel,
+    features_pen_weight: float = 0.0,
+    prob_ppl_weight: float = 0.1,
+    mtlalpha: float = 0.0,
+):
+    """wav2vec2 InfoNCE; with mtlalpha > 0 adds the UniSpeech phonetic CTC
+    multitask term: mtlalpha * ctc + (1-mtlalpha) * infonce
+    (src/fairseq/criterions/unispeech_criterion.py:40-50).
+
+    batch: {"source", optional "lengths", for CTC: "labels" (B,S),
+            "label_lengths" (B,)}
+    """
+
+    def loss_fn(params, batch, rng, step):
+        out = model.apply(
+            {"params": params},
+            batch["source"],
+            batch.get("lengths"),
+            mask=True,
+            deterministic=False,
+            num_updates=step,
+            rngs=split_rngs(rng),
+        )
+        valid = (
+            jnp.ones_like(out.mask_indices, jnp.float32)
+            if out.padding_mask is None
+            else (~out.padding_mask).astype(jnp.float32)
+        )
+        w_m = out.mask_indices.astype(jnp.float32) * valid
+        loss_c, ss, metrics = wav2vec2_contrastive_loss(
+            out.contrastive_logits,
+            w_m,
+            out.features_pen,
+            out.vq_result,
+            features_pen_weight=features_pen_weight,
+            prob_ppl_weight=prob_ppl_weight,
+        )
+        loss = loss_c
+        if mtlalpha > 0.0:
+            assert out.ctc_logits is not None, "ctc_vocab_size=0 but mtlalpha>0"
+            frame_lengths = valid.sum(-1).astype(jnp.int32)
+            # ops.ctc_loss normalizes internally (optax applies log_softmax)
+            loss_ctc, ntok = ctc_loss(
+                out.ctc_logits, frame_lengths,
+                batch["labels"], batch["label_lengths"],
+            )
+            metrics["loss_ctc"] = loss_ctc
+            metrics["ctc_ntokens"] = ntok
+            loss = mtlalpha * loss_ctc + (1.0 - mtlalpha) * loss_c
+        metrics["loss"] = loss
+        return loss, ss, metrics
+
+    return loss_fn
