@@ -1,0 +1,289 @@
+"""Tests for the data layer (batching, labels, mixing, iterators, dictionary)
+and the decode layer (edit distance, WER, greedy/beam CTC)."""
+
+import numpy as np
+import pytest
+
+from unispeech_tpu.data.batching import (
+    batch_by_size,
+    bucket_for,
+    length_buckets,
+    ordered_indices,
+    shard_batches,
+)
+from unispeech_tpu.data.dictionary import Dictionary
+from unispeech_tpu.data.labels import align_labels_to_frames, crop_labels
+from unispeech_tpu.data.mixing import MixingConfig, mix_batch_device, mix_batch_host
+from unispeech_tpu.decode.beam import CtcBeamDecoder, best_path_decode
+from unispeech_tpu.decode.wer import WerScorer, edit_distance, post_process
+
+
+# ---------------------------------------------------------------- batching
+def test_batch_by_size_budget_and_coverage():
+    rng = np.random.default_rng(0)
+    sizes = rng.integers(100, 10_000, 500)
+    order = np.argsort(sizes, kind="mergesort")
+    batches = batch_by_size(order, sizes[order], max_tokens=40_000, bsz_mult=1)
+    seen = np.concatenate(batches)
+    assert sorted(seen.tolist()) == list(range(500))
+    for b in batches[:-1]:
+        assert len(b) * sizes[b].max() <= 40_000
+
+
+def test_batch_by_size_max_sentences():
+    sizes = np.full(100, 10)
+    batches = batch_by_size(np.arange(100), sizes, max_tokens=0, max_sentences=8)
+    assert all(len(b) <= 8 for b in batches)
+    assert sum(len(b) for b in batches) == 100
+
+
+def test_buckets_round_up():
+    buckets = length_buckets(250_000, min_size=16_000, num_buckets=8, multiple=320)
+    assert all(b % 320 == 0 for b in buckets)
+    padded = bucket_for(np.asarray([16_001, 249_999]), buckets)
+    assert padded[0] >= 16_001 and padded[1] >= 249_999
+
+
+def test_ordered_indices_deterministic_and_sharding():
+    sizes = np.random.default_rng(1).integers(1, 1000, 64)
+    a = ordered_indices(sizes, seed=3, epoch=2)
+    b = ordered_indices(sizes, seed=3, epoch=2)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, ordered_indices(sizes, seed=3, epoch=3))
+    batches = [np.asarray([i]) for i in range(10)]
+    s0 = shard_batches(batches, 4, 0)
+    s3 = shard_batches(batches, 4, 3)
+    assert len(s0) == len(s3) == 2  # tail dropped -> equal steps per host
+
+
+# ---------------------------------------------------------------- labels
+def test_align_labels_matches_reference_arithmetic():
+    # reference: target_inds = arange(feat_tsz) * feat2tar_ratio; gather
+    labels = np.arange(100, dtype=np.int32)
+    out, valid = align_labels_to_frames(labels, num_frames=50, feat2tar_ratio=1.0)
+    assert valid == 50
+    assert np.array_equal(out[:50], labels[:50])
+    # ratio 2.0: labels at double rate
+    out, valid = align_labels_to_frames(labels, num_frames=60, feat2tar_ratio=2.0)
+    assert valid == 50
+    assert np.array_equal(out[:50], labels[np.arange(50) * 2])
+    assert np.all(out[50:] == -1)
+
+
+def test_crop_labels_sync():
+    labels = np.arange(500, dtype=np.int32)
+    # 16k audio, 50 Hz labels: 320 samples per label
+    out = crop_labels(labels, audio_start=3200, audio_frames=32000,
+                      sample_rate=16000, label_rate=50.0)
+    assert out[0] == 10 and len(out) == 100
+
+
+# ---------------------------------------------------------------- mixing
+def test_mix_host_prob_zero_identity():
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((4, 8000)).astype(np.float32)
+    out = mix_batch_host(rng, audio, None, MixingConfig(mixing_prob=0.0))
+    assert np.array_equal(out, audio)
+
+
+def test_mix_device_shapes_and_determinism():
+    import jax
+
+    audio = np.random.default_rng(0).standard_normal((4, 8000)).astype(np.float32)
+    cfg = MixingConfig(mixing_prob=1.0)
+    k = jax.random.PRNGKey(0)
+    a = mix_batch_device(k, audio, None, cfg)
+    b = mix_batch_device(k, audio, None, cfg)
+    assert a.shape == audio.shape
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), audio)  # something mixed
+    assert np.isfinite(np.asarray(a)).all()
+
+
+# ---------------------------------------------------------------- dictionary
+def test_dictionary_roundtrip(tmp_path):
+    d = Dictionary.letters()
+    assert d.blank() == d.bos() == 0
+    ids = d.encode_line("H E L L O |")
+    assert d.string(ids) == "H E L L O |"
+    p = tmp_path / "dict.ltr.txt"
+    d.save(str(p))
+    d2 = Dictionary.load(str(p))
+    assert d2.symbols == d.symbols
+
+
+def test_dictionary_json(tmp_path):
+    import json
+
+    p = tmp_path / "vocab.json"
+    p.write_text(json.dumps({"a": 4, "b": 5, "c": 6}))
+    d = Dictionary.load(str(p))
+    assert d.index("b") == 5 and len(d) == 7
+
+
+# ---------------------------------------------------------------- decode
+def _brute_edit(a, b):
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def go(i, j):
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(
+            go(i - 1, j) + 1,
+            go(i, j - 1) + 1,
+            go(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+        )
+
+    return go(len(a), len(b))
+
+
+def test_edit_distance_vs_bruteforce():
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        a = rng.integers(0, 4, rng.integers(0, 12)).tolist()
+        b = rng.integers(0, 4, rng.integers(0, 12)).tolist()
+        assert edit_distance(a, b) == _brute_edit(tuple(a), tuple(b))
+
+
+def test_wer_scorer_and_post_process():
+    s = WerScorer()
+    s.add("the cat sat", "the cat sat")
+    assert s.wer == 0.0
+    s.add("the dog sat", "the cat sat")
+    assert s.wer == pytest.approx(100.0 / 6)
+    assert post_process("H E L L O | W O R L D |", "letter") == "HELLO WORLD"
+
+
+def test_best_path_matches_jax_greedy():
+    import jax.numpy as jnp
+
+    from unispeech_tpu.ops.ctc import greedy_decode
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((3, 20, 6)).astype(np.float32)
+    lengths = np.asarray([20, 15, 7], np.int32)
+    toks, lens = greedy_decode(jnp.asarray(logits), jnp.asarray(lengths))
+    for i in range(3):
+        ref = best_path_decode(logits[i], int(lengths[i]))
+        got = np.asarray(toks[i][: int(lens[i])]).tolist()
+        assert got == ref
+
+
+def test_beam_decoder_finds_high_prob_path():
+    # emissions strongly favoring "a b" (ids 1, 2) with blanks between
+    T, V = 8, 4
+    lp = np.full((T, V), -10.0, np.float32)
+    seq = [0, 1, 1, 0, 2, 2, 0, 0]
+    for t, v in enumerate(seq):
+        lp[t, v] = -0.01
+    dec = CtcBeamDecoder(beam=8)
+    units, words, score = dec.decode(lp)[0]
+    assert units == [1, 2]
+
+
+def test_beam_decoder_lexicon_constrains():
+    # units: 1='a', 2='b', 3='|' (silence). lexicon only contains "ab".
+    T, V = 10, 5
+    rng = np.random.default_rng(0)
+    lp = np.log(rng.dirichlet(np.ones(V), size=T)).astype(np.float32)
+    lex = {"ab": [[1, 2]]}
+    dec = CtcBeamDecoder(beam=16, silence_id=3, lexicon=lex, lm_weight=0.0,
+                         word_score=0.0)
+    results = dec.decode(lp)
+    for units, words, _ in results:
+        # every completed word must be "ab"
+        assert all(w == "ab" for w in words)
+
+
+# ---------------------------------------------------------------- iterators
+def test_pretrain_iterator_end_to_end(tmp_path):
+    import wave as wavemod
+
+    from unispeech_tpu.data.dataset import DataConfig, PretrainIterator
+    from unispeech_tpu.data.labels import LabelFile
+    from unispeech_tpu.data.manifest import Manifest
+
+    rng = np.random.default_rng(0)
+    paths, sizes = [], []
+    km_lines = []
+    for i in range(6):
+        n = int(rng.integers(8000, 24000))
+        wav = (rng.standard_normal(n) * 3000).astype(np.int16)
+        p = tmp_path / f"u{i}.wav"
+        with wavemod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(wav.tobytes())
+        paths.append(f"u{i}.wav")
+        sizes.append(n)
+        km_lines.append(" ".join(str(int(x)) for x in rng.integers(0, 10, n // 320)))
+    man = Manifest(str(tmp_path), paths, np.asarray(sizes))
+    kmp = tmp_path / "train.km"
+    kmp.write_text("\n".join(km_lines) + "\n")
+
+    cfg = DataConfig(
+        max_sample_size=16000, min_sample_size=4000, max_tokens=40000,
+        num_buckets=4, required_batch_size_multiple=1,
+    )
+    it = PretrainIterator(
+        man, cfg, label_files=[LabelFile(str(kmp), 50.0)], seed=7
+    )
+    batches = list(it.epoch_batches(1))
+    assert batches, "no batches"
+    total = 0
+    for b in batches:
+        B, T = b["source"].shape
+        total += B
+        assert b["targets"].shape[0] == B and b["targets"].ndim == 3
+        assert (b["lengths"] <= T).all()
+        assert b["target_valid"].shape == b["targets"].shape
+    assert total == 6
+    # determinism
+    b2 = list(it.epoch_batches(1))
+    assert np.array_equal(batches[0]["source"], b2[0]["source"])
+    # resumable state
+    it2 = PretrainIterator(
+        man, cfg, label_files=[LabelFile(str(kmp), 50.0)], seed=7
+    )
+    it2.load_state_dict({"epoch": 1, "batch_offset": 1})
+    nxt = next(iter(it2))
+    if len(batches) > 1:
+        assert np.array_equal(nxt["source"], batches[1]["source"])
+
+
+def test_finetune_iterator(tmp_path):
+    import wave as wavemod
+
+    from unispeech_tpu.data.dataset import DataConfig, FinetuneIterator
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.manifest import Manifest
+
+    rng = np.random.default_rng(0)
+    paths, sizes, texts = [], [], []
+    for i in range(4):
+        n = 8000
+        wav = (rng.standard_normal(n) * 3000).astype(np.int16)
+        p = tmp_path / f"u{i}.wav"
+        with wavemod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(wav.tobytes())
+        paths.append(f"u{i}.wav")
+        sizes.append(n)
+        texts.append("H I |" if i % 2 else "Y O |")
+    man = Manifest(str(tmp_path), paths, np.asarray(sizes))
+    d = Dictionary.letters()
+    cfg = DataConfig(
+        max_sample_size=16000, min_sample_size=1000, max_tokens=64000,
+        num_buckets=2, required_batch_size_multiple=1,
+    )
+    it = FinetuneIterator(man, cfg, texts, d, seed=1)
+    b = next(iter(it.epoch_batches(1)))
+    assert "labels" in b and "label_lengths" in b
+    assert (b["label_lengths"] == 3).all()
+    assert (b["labels"][:, :3] != d.pad()).all()

@@ -387,6 +387,7 @@ class TransformerEncoderLayer(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EncoderOutput:
     x: jax.Array  # (B, T, D) final output

@@ -65,6 +65,7 @@ class GLUProj(nn.Module):
         return a * jax.nn.sigmoid(b)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class HubertOutput:
     # logits[(layer, label_set)] -> (B, T, C_set) fp32 cosine logits

@@ -33,6 +33,7 @@ from unispeech_tpu.models.wavlm import WavLM
 from unispeech_tpu.ops.quantizer import GumbelVectorQuantizer
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Wav2Vec2Output:
     contrastive_logits: Optional[jax.Array]  # (B, T, 1+N) fp32, col 0 = pos

@@ -29,6 +29,7 @@ from unispeech_tpu.ops.masking import (
 )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class WavLMOutput:
     x: jax.Array  # (B, T, D) encoder output

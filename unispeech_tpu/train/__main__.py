@@ -1,0 +1,298 @@
+"""CLI: `python -m unispeech_tpu.train <subcommand> ...`
+
+Replaces the reference's hydra/argparse train driver
+(/root/reference/src/train.py -> fairseq_cli/train.py:cli_main) and its
+shell-script recipes (src/examples/hubert/scripts/pretrain.sh etc.) with
+three subcommands covering the recipe surface:
+
+  pretrain-hubert   HuBERT / WavLM / ILS / UniSpeech-SAT masked prediction
+  pretrain-wav2vec2 wav2vec2 contrastive (+ UniSpeech CTC multitask)
+  finetune-ctc      CTC ASR fine-tune from a pretrained checkpoint
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--manifest", required=True, help="train TSV manifest")
+    p.add_argument("--valid-manifest", default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--max-updates", type=int, default=400_000)
+    p.add_argument("--max-tokens", type=int, default=1_400_000)
+    p.add_argument("--max-sample-size", type=int, default=250_000)
+    p.add_argument("--min-sample-size", type=int, default=32_000)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--warmup-steps", type=int, default=32_000)
+    p.add_argument("--clip-norm", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--save-interval-updates", type=int, default=25_000)
+    p.add_argument("--arch", choices=["base", "large"], default="base")
+    p.add_argument("--n-model", type=int, default=1, help="tensor-parallel mesh axis")
+    p.add_argument("--fsdp", action="store_true", help="ZeRO-3 param sharding")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--tensorboard-dir", default=None)
+
+
+def _encoder(args, **over):
+    from unispeech_tpu.configs import base_encoder_config, large_encoder_config
+
+    fn = base_encoder_config if args.arch == "base" else large_encoder_config
+    return fn(**over)
+
+
+def _loop_cfg(args):
+    from unispeech_tpu.train.loop import LoopConfig
+
+    return LoopConfig(
+        max_updates=args.max_updates,
+        log_interval=args.log_interval,
+        save_interval_updates=args.save_interval_updates,
+        validate_interval_updates=args.save_interval_updates,
+        checkpoint_dir=args.checkpoint_dir,
+        seed=args.seed,
+        n_model=args.n_model,
+        fsdp=args.fsdp,
+        tensorboard_dir=args.tensorboard_dir,
+    )
+
+
+def _data_cfg(args, **over):
+    from unispeech_tpu.data.dataset import DataConfig
+
+    return DataConfig(
+        max_sample_size=args.max_sample_size,
+        min_sample_size=args.min_sample_size,
+        max_tokens=args.max_tokens,
+        **over,
+    )
+
+
+def cmd_pretrain_hubert(args) -> None:
+    from unispeech_tpu.configs import HubertPretrainConfig, MaskConfig
+    from unispeech_tpu.data.dataset import PretrainIterator
+    from unispeech_tpu.data.labels import LabelFile
+    from unispeech_tpu.data.manifest import Manifest
+    from unispeech_tpu.data.mixing import MixingConfig
+    from unispeech_tpu.models.hubert import HubertPretrainModel
+    from unispeech_tpu.train.loop import run_training
+    from unispeech_tpu.train.losses import HubertCriterionConfig
+    from unispeech_tpu.train.optim import OptimConfig, make_optimizer
+    from unispeech_tpu.train.tasks import make_hubert_loss_fn
+
+    enc = _encoder(
+        args,
+        relative_position_embedding=not args.no_rel_pos,
+        gru_rel_pos=not args.no_rel_pos,
+        encoder_layerdrop=0.05,
+    )
+    labels = [LabelFile(p, args.label_rate) for p in args.labels]
+    num_classes = tuple(int(n) for n in args.num_classes)
+    cfg = HubertPretrainConfig(
+        encoder=enc,
+        time_mask=MaskConfig(mask_prob=args.mask_prob, mask_length=10),
+        label_rate=args.label_rate,
+        num_classes=num_classes,
+        final_dim=256 if args.arch == "base" else 768,
+        predict_layers=tuple(args.predict_layers or ()),
+        utterance_contrastive_loss=args.sat,
+        num_instances=1 if args.sat else 0,
+    )
+    model = HubertPretrainModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    man = Manifest.load(args.manifest)
+    mixing = (
+        MixingConfig(mixing_prob=args.mixing_prob) if args.mixing_prob > 0 else None
+    )
+    data = PretrainIterator(
+        man,
+        _data_cfg(args, label_rate=args.label_rate),
+        label_files=labels,
+        frame_hop=enc.frame_hop,
+        frames_fn=enc.num_frames,
+        mixing=mixing,
+        seed=args.seed,
+        num_shards=jax.process_count(),
+        shard_id=jax.process_index(),
+    )
+    crit = HubertCriterionConfig(
+        spk_loss_weight=0.1 if args.sat else 0.0,
+    )
+    loss_fn = make_hubert_loss_fn(model, crit)
+    tx = make_optimizer(
+        OptimConfig(
+            lr=args.lr, warmup_steps=args.warmup_steps,
+            total_steps=args.max_updates, clip_norm=args.clip_norm,
+        )
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    init_batch = next(iter(data.epoch_batches(1)))
+    run_training(
+        model, loss_fn, tx, iter(data), init_batch, _loop_cfg(args),
+        init_rngs={"params": rng, "mask": rng},
+        data_state=data,
+    )
+
+
+def cmd_pretrain_wav2vec2(args) -> None:
+    from unispeech_tpu.configs import MaskConfig, Wav2Vec2PretrainConfig
+    from unispeech_tpu.data.dataset import FinetuneIterator, PretrainIterator
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.manifest import Manifest
+    from unispeech_tpu.models.wav2vec2 import Wav2Vec2PretrainModel
+    from unispeech_tpu.train.loop import run_training
+    from unispeech_tpu.train.optim import OptimConfig, make_optimizer
+    from unispeech_tpu.train.tasks import make_wav2vec2_loss_fn
+
+    enc = _encoder(args)
+    unispeech = args.mtlalpha > 0
+    d = Dictionary.load(args.dict) if unispeech else None
+    cfg = Wav2Vec2PretrainConfig(
+        encoder=enc,
+        time_mask=MaskConfig(mask_prob=args.mask_prob, mask_length=10),
+        transpose=unispeech,
+        ctc_vocab_size=len(d) if d else 0,
+        replace_prob=args.replace_prob,
+    )
+    model = Wav2Vec2PretrainModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    man = Manifest.load(args.manifest)
+    dc = _data_cfg(args)
+    if unispeech:
+        texts = open(args.transcripts).read().splitlines()
+        data = FinetuneIterator(
+            man, dc, texts, d, seed=args.seed,
+            num_shards=jax.process_count(), shard_id=jax.process_index(),
+        )
+    else:
+        data = PretrainIterator(
+            man, dc, seed=args.seed,
+            num_shards=jax.process_count(), shard_id=jax.process_index(),
+        )
+    loss_fn = make_wav2vec2_loss_fn(model, mtlalpha=args.mtlalpha)
+    tx = make_optimizer(
+        OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
+                    total_steps=args.max_updates, clip_norm=args.clip_norm)
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    init_batch = next(iter(data.epoch_batches(1)))
+    run_training(
+        model, loss_fn, tx, iter(data), init_batch, _loop_cfg(args),
+        init_rngs={"params": rng, "mask": rng, "gumbel": rng, "negatives": rng},
+        data_state=data,
+    )
+
+
+def cmd_finetune_ctc(args) -> None:
+    from unispeech_tpu.configs import MaskConfig
+    from unispeech_tpu.data.dataset import FinetuneIterator
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.manifest import Manifest
+    from unispeech_tpu.models.ctc import (
+        CtcFinetuneConfig,
+        CtcFinetuneModel,
+        load_pretrained_into,
+    )
+    from unispeech_tpu.train.checkpoint import load_params_npz
+    from unispeech_tpu.train.loop import run_training
+    from unispeech_tpu.train.optim import OptimConfig, make_optimizer
+    from unispeech_tpu.train.tasks import make_ctc_finetune_loss_fn
+
+    d = Dictionary.load(args.dict) if args.dict else Dictionary.letters()
+    enc = _encoder(
+        args, relative_position_embedding=not args.no_rel_pos,
+        gru_rel_pos=not args.no_rel_pos,
+    )
+    cfg = CtcFinetuneConfig(
+        encoder=enc,
+        vocab_size=len(d),
+        apply_mask=True,
+        time_mask=MaskConfig(mask_prob=args.mask_prob, mask_length=10),
+        freeze_finetune_updates=args.freeze_finetune_updates,
+        final_dropout=0.1,
+    )
+    model = CtcFinetuneModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    man = Manifest.load(args.manifest)
+    texts = open(args.transcripts).read().splitlines()
+    data = FinetuneIterator(
+        man, _data_cfg(args), texts, d, seed=args.seed,
+        num_shards=jax.process_count(), shard_id=jax.process_index(),
+    )
+    loss_fn = make_ctc_finetune_loss_fn(model)
+    tx = make_optimizer(
+        OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
+                    total_steps=args.max_updates, clip_norm=args.clip_norm,
+                    schedule="tri_stage", hold_steps=args.max_updates * 4 // 10)
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    init_batch = next(iter(data.epoch_batches(1)))
+
+    init_params = None
+    if args.w2v_path:
+        from unispeech_tpu.train.loop import _init_kwargs
+
+        variables = model.init(
+            {"params": rng, "mask": rng, "dropout": rng},
+            **_init_kwargs(init_batch),
+        )
+        pre = load_params_npz(args.w2v_path)
+        init_params = load_pretrained_into(variables["params"], pre)
+
+    run_training(
+        model, loss_fn, tx, iter(data), init_batch, _loop_cfg(args),
+        init_rngs={"params": rng, "mask": rng, "dropout": rng},
+        data_state=data, init_params=init_params,
+    )
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser("unispeech_tpu.train")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    ph = sub.add_parser("pretrain-hubert")
+    _common(ph)
+    ph.add_argument("--labels", nargs="+", required=True, help=".km label files")
+    ph.add_argument("--label-rate", type=float, default=50.0)
+    ph.add_argument("--num-classes", nargs="+", default=["504"])
+    ph.add_argument("--mask-prob", type=float, default=0.8)
+    ph.add_argument("--predict-layers", type=int, nargs="*", default=None,
+                    help="ILS: 1-based layers with prediction losses")
+    ph.add_argument("--sat", action="store_true",
+                    help="UniSpeech-SAT speaker contrastive branch")
+    ph.add_argument("--mixing-prob", type=float, default=0.0)
+    ph.add_argument("--no-rel-pos", action="store_true")
+    ph.set_defaults(fn=cmd_pretrain_hubert)
+
+    pw = sub.add_parser("pretrain-wav2vec2")
+    _common(pw)
+    pw.add_argument("--mask-prob", type=float, default=0.65)
+    pw.add_argument("--mtlalpha", type=float, default=0.0,
+                    help=">0 enables UniSpeech CTC multitask")
+    pw.add_argument("--replace-prob", type=float, default=0.5)
+    pw.add_argument("--dict", default=None, help="phone dict for UniSpeech CTC")
+    pw.add_argument("--transcripts", default=None)
+    pw.set_defaults(fn=cmd_pretrain_wav2vec2)
+
+    fc = sub.add_parser("finetune-ctc")
+    _common(fc)
+    fc.add_argument("--transcripts", required=True,
+                    help="one letter-format line per manifest row")
+    fc.add_argument("--dict", default=None)
+    fc.add_argument("--w2v-path", default=None, help="pretrained params .npz")
+    fc.add_argument("--mask-prob", type=float, default=0.65)
+    fc.add_argument("--freeze-finetune-updates", type=int, default=10_000)
+    fc.add_argument("--no-rel-pos", action="store_true")
+    fc.set_defaults(fn=cmd_finetune_ctc)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

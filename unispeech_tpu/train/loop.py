@@ -1,0 +1,176 @@
+"""Training driver: epoch-free update loop with validate/save cadence.
+
+Replaces the reference's fairseq_cli/train.py main loop + Trainer
+(/root/reference/src/fairseq_cli/train.py:167-404, src/fairseq/trainer.py) —
+no process spawning, no DDP wrapper, no fp16 scaler: one host process drives
+a jitted GSPMD train step over a mesh; data comes from an epoch-checkpointable
+host iterator; checkpoints are orbax-managed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unispeech_tpu.parallel.sharding import make_mesh
+from unispeech_tpu.train.checkpoint import CheckpointManager
+from unispeech_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    shard_batch,
+    shard_train_state,
+)
+from unispeech_tpu.utils.metrics import MetricsAggregator, ProgressLogger, StopwatchMeter
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    max_updates: int = 400_000
+    log_interval: int = 100
+    save_interval_updates: int = 25_000
+    validate_interval_updates: int = 25_000
+    max_valid_steps: int = 0  # 0 = full pass
+    keep_last_checkpoints: int = 3
+    checkpoint_dir: str = "checkpoints"
+    best_metric: str = "loss_avg"
+    maximize_best: bool = False
+    seed: int = 1
+    # mesh
+    n_model: int = 1
+    fsdp: bool = False
+    tensorboard_dir: Optional[str] = None
+
+
+def run_training(
+    model,
+    loss_fn,  # (params, batch, rng, step) -> (loss_sum, sample_size, metrics)
+    tx,
+    train_batches: Iterable[Dict[str, np.ndarray]],  # infinite iterator
+    init_batch: Dict[str, np.ndarray],  # one batch for shape-driven init
+    cfg: LoopConfig,
+    init_rngs: Dict[str, jax.Array],
+    valid_batches_fn: Optional[Callable[[], Iterable[Dict]]] = None,
+    eval_loss_fn=None,
+    data_state: Optional[Dict] = None,  # iterator with state_dict/load_state_dict
+    init_params=None,  # warm-start params (e.g. grafted pretrain weights)
+) -> TrainState:
+    mesh = make_mesh(n_model=cfg.n_model)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    # init (host) then place on the mesh
+    if init_params is None:
+        variables = model.init(init_rngs, **_init_kwargs(init_batch))
+        init_params = variables["params"]
+    state = create_train_state(init_params, tx)
+    state = shard_train_state(
+        state, mesh, tensor_parallel=cfg.n_model > 1, fsdp=cfg.fsdp
+    )
+
+    ckpt = CheckpointManager(
+        cfg.checkpoint_dir,
+        keep_last=cfg.keep_last_checkpoints,
+        best_metric=cfg.best_metric,
+        maximize_best=cfg.maximize_best,
+    )
+    data_obj = data_state
+    data_template = data_obj.state_dict() if data_obj is not None else None
+    state, restored_data, start_step = ckpt.restore(state, data_template)
+    if restored_data is not None and data_obj is not None:
+        data_obj.load_state_dict(jax.tree.map(lambda x: np.asarray(x).item()
+                                              if np.ndim(x) == 0 else x,
+                                              restored_data))
+
+    step_fn = make_train_step(loss_fn, tx)
+    eval_fn = None
+    if eval_loss_fn is not None:
+        def _eval(state, batch, rng):
+            loss, ss, metrics = eval_loss_fn(state.params, batch, rng, state.step)
+            return metrics
+        eval_fn = jax.jit(_eval)
+
+    agg = MetricsAggregator()
+    logger = ProgressLogger("train", cfg.tensorboard_dir)
+    vlogger = ProgressLogger("valid", cfg.tensorboard_dir)
+    timer = StopwatchMeter()
+
+    step_rng = jax.random.fold_in(rng, 0xBEEF)
+    num_updates = int(start_step)
+    for batch in train_batches:
+        if num_updates >= cfg.max_updates:
+            break
+        sharded = shard_batch(_as_device_batch(batch), mesh)
+        timer.start()
+        state, metrics = step_fn(state, sharded, step_rng)
+        timer.stop()
+        num_updates += 1
+        agg.update(metrics)
+
+        if num_updates % cfg.log_interval == 0:
+            stats = agg.snapshot()
+            stats["updates"] = num_updates
+            stats["step_time_avg_s"] = timer.avg
+            logger.log(num_updates, stats)
+            agg.reset()
+
+        if (
+            cfg.validate_interval_updates
+            and num_updates % cfg.validate_interval_updates == 0
+            and valid_batches_fn is not None
+            and eval_fn is not None
+        ):
+            vstats = run_validation(
+                state, eval_fn, valid_batches_fn(), mesh, cfg.max_valid_steps
+            )
+            vlogger.log(num_updates, vstats)
+            metrics_for_best = {cfg.best_metric: vstats.get(cfg.best_metric, 0.0)}
+        else:
+            metrics_for_best = None
+
+        if cfg.save_interval_updates and num_updates % cfg.save_interval_updates == 0:
+            ckpt.save(
+                num_updates,
+                state,
+                data_state=data_obj.state_dict() if data_obj is not None else None,
+                metrics=metrics_for_best,
+            )
+
+    ckpt.save(
+        num_updates,
+        state,
+        data_state=data_obj.state_dict() if data_obj is not None else None,
+    )
+    ckpt.wait()
+    ckpt.close()
+    logger.close()
+    vlogger.close()
+    return state
+
+
+def run_validation(state, eval_fn, batches, mesh, max_steps: int = 0) -> Dict:
+    agg = MetricsAggregator()
+    rng = jax.random.PRNGKey(0)
+    for i, batch in enumerate(batches):
+        if max_steps and i >= max_steps:
+            break
+        sharded = shard_batch(_as_device_batch(batch), mesh)
+        agg.update(eval_fn(state, sharded, rng))
+    return agg.snapshot()
+
+
+def _as_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def _init_kwargs(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    kw: Dict[str, Any] = {"source": jnp.asarray(batch["source"][:1])}
+    if "targets" in batch:
+        kw["targets"] = jnp.asarray(batch["targets"][:1])
+    if "lengths" in batch:
+        kw["lengths"] = jnp.asarray(batch["lengths"][:1])
+    return kw

@@ -12,6 +12,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from unispeech_tpu.models.ctc import CtcFinetuneModel
 from unispeech_tpu.models.hubert import HubertPretrainModel
 from unispeech_tpu.models.wav2vec2 import Wav2Vec2PretrainModel
 from unispeech_tpu.ops.ctc import ctc_loss
@@ -107,5 +108,41 @@ def make_wav2vec2_loss_fn(
             loss = mtlalpha * loss_ctc + (1.0 - mtlalpha) * loss_c
         metrics["loss"] = loss
         return loss, ss, metrics
+
+    return loss_fn
+
+
+def make_ctc_finetune_loss_fn(model: CtcFinetuneModel):
+    """CTC fine-tuning objective (src/fairseq/criterions/ctc.py:113-160).
+
+    batch: {"source" (B,n), "lengths" (B,), "labels" (B,S) pad=dict.pad,
+            "label_lengths" (B,)}. sample_size = B (ctc criterion's
+    sentence_avg=False uses ntokens; pretrain recipes normalize per sample —
+    we report both and normalize by ntokens like the reference default).
+    """
+
+    def loss_fn(params, batch, rng, step):
+        out = model.apply(
+            {"params": params},
+            batch["source"],
+            batch.get("lengths"),
+            deterministic=False,
+            step=step,
+            rngs=split_rngs(rng),
+        )
+        loss, ntokens = ctc_loss(
+            out.logits,
+            out.frame_lengths,
+            batch["labels"],
+            batch["label_lengths"],
+        )
+        sample_size = ntokens.astype(jnp.float32)
+        metrics = {
+            "loss": loss,
+            "ntokens": sample_size,
+            "sample_size": sample_size,
+            "nsentences": jnp.float32(batch["source"].shape[0]),
+        }
+        return loss, sample_size, metrics
 
     return loss_fn
