@@ -287,3 +287,39 @@ def test_finetune_iterator(tmp_path):
     assert "labels" in b and "label_lengths" in b
     assert (b["label_lengths"] == 3).all()
     assert (b["labels"][:, :3] != d.pad()).all()
+
+
+def test_native_packer_matches_python():
+    from unispeech_tpu.native import batch_by_size_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    sizes = np.sort(rng.integers(50, 5000, 333))
+    # python fallback: force by calling the scan directly via monkeypatched
+    # native return of None
+    import unispeech_tpu.data.batching as B
+    import unispeech_tpu.native as N
+
+    native = B.batch_by_size(np.arange(333), sizes, max_tokens=20_000, bsz_mult=4)
+    orig = N.batch_by_size_native
+    try:
+        N.batch_by_size_native = lambda *a, **k: None
+        py = B.batch_by_size(np.arange(333), sizes, max_tokens=20_000, bsz_mult=4)
+    finally:
+        N.batch_by_size_native = orig
+    assert len(native) == len(py)
+    for a, b in zip(native, py):
+        assert np.array_equal(a, b)
+
+
+def test_native_edit_distance_matches_python():
+    from unispeech_tpu.native import edit_distance_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        a = rng.integers(0, 5, rng.integers(0, 15)).tolist()
+        b = rng.integers(0, 5, rng.integers(0, 15)).tolist()
+        assert edit_distance_native(a, b) == _brute_edit(tuple(a), tuple(b))

@@ -1,0 +1,75 @@
+"""Pallas fused attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unispeech_tpu.ops.attention import multihead_attention
+from unispeech_tpu.ops.pallas.flash_attention import (
+    _pallas_attention,
+    fused_attention,
+)
+
+
+def _make(B=2, T=100, S=100, H=4, hd=32, bias=True, gate=True, mask=True, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    q = jax.random.normal(ks[0], (B, T, H, hd))
+    k = jax.random.normal(ks[1], (B, S, H, hd))
+    v = jax.random.normal(ks[2], (B, S, H, hd))
+    b = jax.random.normal(ks[3], (H, T, S)) if bias else None
+    g = jax.nn.sigmoid(jax.random.normal(ks[4], (B, H, T))) + 1.0 if gate else None
+    kpm = None
+    if mask:
+        lengths = jnp.asarray([S, S - 37][:B] + [S] * max(B - 2, 0))
+        kpm = jnp.arange(S)[None, :] >= lengths[:, None]
+    return q, k, v, b, g, kpm
+
+
+def _ref(q, k, v, b, g, kpm):
+    bias = None
+    if b is not None:
+        bias = b.astype(jnp.float32)[None]
+        if g is not None:
+            bias = g[..., None] * bias
+    return multihead_attention(q, k, v, bias=bias, key_padding_mask=kpm,
+                               deterministic=True)
+
+
+@pytest.mark.parametrize("bias,gate,mask", [
+    (True, True, True),
+    (True, False, True),
+    (False, False, True),
+    (True, True, False),
+])
+def test_fused_matches_reference(bias, gate, mask):
+    args = _make(bias=bias, gate=gate, mask=mask)
+    ref = _ref(*args)
+    got = _pallas_attention(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_nonaligned_shapes():
+    # T=97, S=97, hd=24: exercises all padding paths
+    args = _make(B=1, T=97, S=97, H=2, hd=24)
+    ref = _ref(*args)
+    got = _pallas_attention(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gradients_match_reference():
+    args = _make(B=1, T=64, S=64, H=2, hd=16)
+
+    def loss_fused(q, k, v, b, g):
+        return jnp.sum(fused_attention(q, k, v, b, g, args[5], True) ** 2)
+
+    def loss_ref(q, k, v, b, g):
+        return jnp.sum(_ref(q, k, v, b, g, args[5]) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

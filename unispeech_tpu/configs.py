@@ -92,6 +92,10 @@ class EncoderConfig:
     # input normalization (matched to extractor_mode=layer_norm in recipes)
     normalize: bool = False
 
+    # TPU hot path: Pallas fused attention (bias+gate+softmax+PV in VMEM).
+    # Auto-disabled off-TPU and when attention dropout is active.
+    use_flash_attention: bool = True
+
     @property
     def frame_hop(self) -> int:
         hop = 1

@@ -39,9 +39,27 @@ def batch_by_size(
     max_sentences: int = 0,
     bsz_mult: int = 1,
 ) -> List[np.ndarray]:
-    """Port of batch_by_size_vec (data_utils_fast.pyx:20-103)."""
+    """Port of batch_by_size_vec (data_utils_fast.pyx:20-103).
+
+    Uses the C++ packer (native/packer.cpp) when built; this python scan is
+    the behavior-identical fallback."""
     indices = np.asarray(indices)
     sizes = np.asarray(sizes)
+    if max_tokens > 0 and len(sizes) and int(sizes.max()) > max_tokens:
+        bad = indices[int(np.argmax(sizes))]
+        raise AssertionError(
+            f"sentence at index {bad} of size {int(sizes.max())} exceeds "
+            f"max_tokens limit of {max_tokens}"
+        )
+    from unispeech_tpu.native import batch_by_size_native
+
+    ends = batch_by_size_native(sizes, max_tokens, max_sentences, bsz_mult)
+    if ends is not None:
+        out, start = [], 0
+        for e in ends:
+            out.append(indices[start:e])
+            start = int(e)
+        return out
     batches: List[np.ndarray] = []
     start = 0
     sample_len = 0  # max size within current batch

@@ -15,11 +15,20 @@ import numpy as np
 
 
 def edit_distance(a: Sequence, b: Sequence) -> int:
-    """Levenshtein distance, numpy row DP."""
+    """Levenshtein distance: C++ kernel when built, numpy row DP fallback."""
     if len(a) == 0:
         return len(b)
     if len(b) == 0:
         return len(a)
+    from unispeech_tpu.native import edit_distance_native
+
+    # map arbitrary hashables to int32 ids for the native kernel
+    vocab = {}
+    ai = [vocab.setdefault(x, len(vocab)) for x in a]
+    bi = [vocab.setdefault(x, len(vocab)) for x in b]
+    d = edit_distance_native(ai, bi)
+    if d is not None:
+        return d
     n = len(b)
     bb = np.asarray([hash(x) for x in b])
     j_idx = np.arange(n + 1)

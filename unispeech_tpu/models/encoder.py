@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from unispeech_tpu.configs import EncoderConfig
-from unispeech_tpu.ops.attention import gated_position_bias, multihead_attention
+from unispeech_tpu.ops.attention import (
+    multihead_attention,
+    rel_pos_gate,
+)
 from unispeech_tpu.ops.rel_pos import compute_rel_pos_bias
 
 Dtype = Any
@@ -265,35 +268,48 @@ class SelfAttention(nn.Module):
         k = dense("k_proj")(x).reshape(*x.shape[:2], H, hd)
         v = dense("v_proj")(x).reshape(*x.shape[:2], H, hd)
 
-        bias = None
-        if position_bias is not None:
-            if cfg.gru_rel_pos:
-                grep_w = self.param(
-                    "grep_w", nn.initializers.normal(0.02), (hd, 8), jnp.float32
-                )
-                grep_b = self.param("grep_b", nn.initializers.zeros, (8,), jnp.float32)
-                grep_a = self.param(
-                    "grep_a", nn.initializers.ones, (1, H, 1, 1), jnp.float32
-                )
-                bias = gated_position_bias(
-                    x, position_bias, grep_w, grep_b, grep_a, H
-                )
-            else:
-                bias = position_bias
+        gate = None
+        if position_bias is not None and cfg.gru_rel_pos:
+            grep_w = self.param(
+                "grep_w", nn.initializers.normal(0.02), (hd, 8), jnp.float32
+            )
+            grep_b = self.param("grep_b", nn.initializers.zeros, (8,), jnp.float32)
+            grep_a = self.param(
+                "grep_a", nn.initializers.ones, (1, H, 1, 1), jnp.float32
+            )
+            gate = rel_pos_gate(x, grep_w, grep_b, grep_a, H)
 
-        dropout_rng = None
-        if cfg.attention_dropout > 0.0 and not deterministic:
-            dropout_rng = self.make_rng("dropout")
-        out = multihead_attention(
-            q,
-            k,
-            v,
-            bias=bias,
-            key_padding_mask=key_padding_mask,
-            dropout_rng=dropout_rng,
-            dropout_rate=cfg.attention_dropout,
-            deterministic=deterministic,
-        )
+        use_dropout = cfg.attention_dropout > 0.0 and not deterministic
+        # Pallas fused kernel: TPU hot path (keeps (B,H,T,S) logits + gated
+        # bias VMEM-tile-resident). Attention dropout falls back to XLA —
+        # probs must be materialized to drop them.
+        if (
+            cfg.use_flash_attention
+            and not use_dropout
+            and jax.default_backend() == "tpu"
+        ):
+            from unispeech_tpu.ops.pallas.flash_attention import fused_attention
+
+            out = fused_attention(
+                q, k, v, position_bias, gate, key_padding_mask
+            )
+        else:
+            bias = None
+            if position_bias is not None:
+                bias = position_bias.astype(jnp.float32)[None]
+                if gate is not None:
+                    bias = gate[..., None] * bias
+            dropout_rng = self.make_rng("dropout") if use_dropout else None
+            out = multihead_attention(
+                q,
+                k,
+                v,
+                bias=bias,
+                key_padding_mask=key_padding_mask,
+                dropout_rng=dropout_rng,
+                dropout_rate=cfg.attention_dropout,
+                deterministic=deterministic,
+            )
         out = out.reshape(*x.shape[:2], D)
         return dense("out_proj")(out)
 

@@ -19,19 +19,20 @@ import jax
 import jax.numpy as jnp
 
 
-def gated_position_bias(
+def rel_pos_gate(
     x: jax.Array,  # (B, T, D) pre-projection attention input
-    position_bias: jax.Array,  # (H, T, S)
     grep_w: jax.Array,  # (head_dim, 8)
     grep_b: jax.Array,  # (8,)
     grep_a: jax.Array,  # (1, H, 1, 1)
     num_heads: int,
 ) -> jax.Array:
-    """Per-layer GRU-style gate on the shared relative position bias.
+    """Per-query GRU-style gate multiplier for the shared rel-pos bias.
 
     gate = gate_a * (gate_b * grep_a - 1) + 2, gates in (0,1) from a sigmoid
     of a per-head linear projection of the query activations
-    (/root/reference/WavLM/modules.py:530-533). Returns (B, H, T, S).
+    (/root/reference/WavLM/modules.py:530-533). Returns (B, H, T) — the full
+    gated bias is the outer product gate[...,None] * position_bias[None],
+    which the Pallas fused kernel never materializes.
     """
     B, T, D = x.shape
     head_dim = D // num_heads
@@ -45,8 +46,20 @@ def gated_position_bias(
     gates = jax.nn.sigmoid(r)
     gate_a, gate_b = gates[..., 0], gates[..., 1]  # (B,H,T)
     ga = grep_a.astype(jnp.float32).reshape(1, num_heads, 1)
-    gate = gate_a * (gate_b * ga - 1.0) + 2.0  # (B,H,T)
-    return gate[..., None] * position_bias[None].astype(jnp.float32)  # (B,H,T,S)
+    return gate_a * (gate_b * ga - 1.0) + 2.0  # (B,H,T)
+
+
+def gated_position_bias(
+    x: jax.Array,  # (B, T, D) pre-projection attention input
+    position_bias: jax.Array,  # (H, T, S)
+    grep_w: jax.Array,  # (head_dim, 8)
+    grep_b: jax.Array,  # (8,)
+    grep_a: jax.Array,  # (1, H, 1, 1)
+    num_heads: int,
+) -> jax.Array:
+    """Materialized (B, H, T, S) gated bias — XLA reference path."""
+    gate = rel_pos_gate(x, grep_w, grep_b, grep_a, num_heads)
+    return gate[..., None] * position_bias[None].astype(jnp.float32)
 
 
 def multihead_attention(
