@@ -162,6 +162,58 @@ def test_ils_and_sat_branches():
     assert "loss_spk_m" in metrics and "loss_prob_perplexity" in metrics
 
 
+def test_sat_instance_sampler_avoids_padding_and_self():
+    from unispeech_tpu.models.hubert import sample_instance_indices
+
+    B, T = 3, 50
+    lengths = jnp.asarray([50, 31, 7], jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    for seed in range(5):
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, seed))
+        idx = np.asarray(
+            sample_instance_indices(k1, k2, lengths, T, n_same=3, n_cross=9)
+        )
+        rows, offsets = idx // T, idx % T
+        # never padding
+        assert (offsets < np.asarray(lengths)[rows]).all()
+        # same-utterance part stays in-row and != t for valid t
+        same = idx[..., :3]
+        assert (same // T == np.arange(B)[:, None, None]).all()
+        for b in range(B):
+            for t in range(int(lengths[b])):
+                assert not (same[b, t] % T == t).any()
+        # cross part covers multiple rows
+        assert len(np.unique(idx[..., 3:] // T)) > 1
+
+
+def test_features_pen_invariant_to_bucket_padding():
+    """features_pen must not depend on how much bucket padding a batch
+    carries (reference crops are unpadded — wavlm.py:486)."""
+    from unispeech_tpu.models.wavlm import WavLM
+    from unispeech_tpu.configs import WavLMModelConfig
+
+    import dataclasses
+
+    # layer_norm extractor: per-frame norms, so valid-frame features are
+    # padding-independent and the pen must match exactly. (The "default"
+    # GroupNorm mode normalizes each channel over time INCLUDING padding —
+    # reference behavior we preserve — so exact invariance is impossible
+    # there.)
+    enc = dataclasses.replace(SMALL_ENC, extractor_mode="layer_norm")
+    cfg = WavLMModelConfig(encoder=enc, time_mask=MaskConfig(mask_prob=0.0))
+    model = WavLM(cfg)
+    rng = jax.random.PRNGKey(0)
+    n = 1600
+    wav = jax.random.normal(rng, (2, n))
+    lengths = jnp.asarray([n, n], jnp.int32)
+    variables = model.init({"params": rng}, wav, lengths)
+    pen1 = model.apply(variables, wav, lengths).features_pen
+    # pad the same audio out to a bigger bucket
+    wav_padded = jnp.pad(wav, ((0, 0), (0, 800)))
+    pen2 = model.apply(variables, wav_padded, lengths).features_pen
+    np.testing.assert_allclose(float(pen1), float(pen2), rtol=2e-3)
+
+
 def test_gumbel_vq_matches_torch_hard_path():
     """Deterministic (eval) path vs torch formula
     (src/fairseq/modules/gumbel_vector_quantizer.py:141-202)."""

@@ -88,7 +88,7 @@ def test_sharded_train_step_loss_decreases(tp, fsdp):
         specs = [s.spec for s in jax.tree.leaves(shardings)]
         assert any("data" in str(s) for s in specs)
     if tp > 1:
-        fc1 = state.params["wavlm"]["encoder"]["layer_0"]["fc1"]["kernel"]
+        fc1 = state.params["wavlm"]["encoder"]["layers"]["fc1"]["kernel"]
         assert "model" in str(fc1.sharding.spec)
 
     loss_fn = make_hubert_loss_fn(model, HubertCriterionConfig())
@@ -106,3 +106,64 @@ def test_sharded_train_step_loss_decreases(tp, fsdp):
             )
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_gradient_accumulation_equivalence():
+    """k-microbatch accumulated step == one step on the summed gradients:
+    the accumulated update must exactly match manually summing per-microbatch
+    raw grads (same per-microbatch rngs) and normalizing by total sample size
+    (reference trainer.py:689-705, 787-804 semantics)."""
+    cfg = HubertPretrainConfig(
+        encoder=ENC,
+        time_mask=MaskConfig(mask_prob=0.65, mask_length=4),
+        num_classes=(13,),
+        final_dim=32,
+    )
+    model = HubertPretrainModel(cfg)
+    K, B, n = 3, 4, 2000
+    T = cfg.encoder.num_frames(n)
+    rng = jax.random.PRNGKey(0)
+    wav = jax.random.normal(rng, (K, B, n))
+    targets = jax.random.randint(rng, (K, B, T, 1), 0, 13)
+
+    variables = model.init(
+        {"params": rng, "mask": rng}, wav[0, :1], targets[0, :1],
+        mask=True, deterministic=True,
+    )
+    tx = make_optimizer(
+        OptimConfig(lr=1e-3, schedule="fixed", weight_decay=0.0, clip_norm=1e9)
+    )
+    loss_fn = make_hubert_loss_fn(model, HubertCriterionConfig())
+
+    state = create_train_state(variables["params"], tx)
+    step_acc = make_train_step(loss_fn, tx, donate_state=False, accum_steps=K)
+    step_rng = jax.random.PRNGKey(7)
+    new_state, metrics = step_acc(
+        state, {"source": wav, "targets": targets}, step_rng
+    )
+
+    # manual reference: sum raw grads over microbatches with the same rngs
+    folded = jax.random.fold_in(step_rng, state.step)
+    total_loss, total_ss, grads_sum = 0.0, 0.0, None
+    for i in range(K):
+        mrng = jax.random.fold_in(folded, i)
+        mb = {"source": wav[i], "targets": targets[i]}
+        (loss, (ss, _)), g = jax.value_and_grad(
+            lambda p: (lambda l, s, m: (l, (s, m)))(*loss_fn(p, mb, mrng, 0)),
+            has_aux=True,
+        )(state.params)
+        total_loss += float(loss)
+        total_ss += float(ss)
+        grads_sum = g if grads_sum is None else jax.tree.map(jnp.add, grads_sum, g)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), total_loss, rtol=1e-5
+    )
+    assert float(metrics["sample_size"]) == total_ss
+    grads_ref = jax.tree.map(lambda g: g / max(total_ss, 1.0), grads_sum)
+    updates, _ = tx.update(grads_ref, state.opt_state, state.params)
+    params_ref = jax.tree.map(
+        lambda p, u: np.asarray(p + u), state.params, updates
+    )
+    for a, b in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-5, atol=1e-7)

@@ -93,8 +93,17 @@ class EncoderConfig:
     normalize: bool = False
 
     # TPU hot path: Pallas fused attention (bias+gate+softmax+PV in VMEM).
-    # Auto-disabled off-TPU and when attention dropout is active.
+    # Auto-disabled off-TPU.
     use_flash_attention: bool = True
+
+    # Stack the transformer layers with nn.scan (single compiled layer body,
+    # params get a leading L axis) and rematerialize activations inside each
+    # layer (jax.checkpoint) so attention/FFN intermediates are never saved
+    # for backward. This is the TPU-idiomatic replacement for the reference's
+    # checkpoint_activations wrapper (src/fairseq/modules/
+    # checkpoint_activations.py) and is required for Large-scale training.
+    scan_layers: bool = True
+    remat_layers: bool = True
 
     @property
     def frame_hop(self) -> int:

@@ -85,6 +85,7 @@ def wavlm_params_from_reference(
             "encoder.layers.0.self_attn.relative_attention_bias.weight"
         ]
 
+    layers = []
     for i in range(enc.encoder_layers):
         pre = f"encoder.layers.{i}."
         attn: Dict = {}
@@ -124,6 +125,15 @@ def wavlm_params_from_reference(
                 "kernel": _t(sd[pre + "fc1.weight"]),
                 "bias": sd[pre + "fc1.bias"],
             }
-        e[f"layer_{i}"] = layer
+        layers.append(layer)
+
+    if enc.scan_layers:
+        # nn.scan layout: one subtree with a leading L axis on every leaf
+        import jax
+
+        e["layers"] = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *layers)
+    else:
+        for i, layer in enumerate(layers):
+            e[f"layer_{i}"] = layer
     p["encoder"] = e
     return p

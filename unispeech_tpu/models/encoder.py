@@ -140,12 +140,72 @@ Used for feature_grad_mult on the conv frontend."""
 # ---------------------------------------------------------------------------
 
 
+def strided_conv1d_as_matmul(
+    h: jax.Array,  # (B, T, Cin)
+    kernel: jax.Array,  # (k, Cin, Cout) — nn.Conv layout
+    stride: int,
+) -> jax.Array:
+    """Valid-padding strided 1D conv as im2col + one MXU matmul.
+
+    XLA's TPU lowering of `lax.conv` on these long/thin (Cin≤512, T up to
+    250k) shapes runs at ~4% MFU (measured); the identical computation as a
+    windowed matmul keeps the MXU busy. For k == stride the im2col is a pure
+    reshape; otherwise k strided slices are concatenated (layout (tap, cin),
+    matching kernel.reshape(k*Cin, Cout)).
+    """
+    k, cin, cout = kernel.shape
+    T = h.shape[1]
+    t_out = (T - k) // stride + 1
+    if k == stride:
+        win = h[:, : t_out * k, :].reshape(h.shape[0], t_out, k * cin)
+    else:
+        span = (t_out - 1) * stride + 1
+        taps = [
+            jax.lax.slice_in_dim(h, i, i + span, stride, axis=1) for i in range(k)
+        ]
+        win = jnp.concatenate(taps, axis=-1)  # (B, t_out, k*Cin)
+    return jax.lax.dot_general(
+        win,
+        kernel.reshape(k * cin, cout).astype(win.dtype),
+        ((( 2,), (0,)), ((), ())),
+        preferred_element_type=win.dtype,
+    )
+
+
+class Conv1dMM(nn.Module):
+    """Valid-padding strided conv1d executed as an im2col matmul; parameter
+    layout identical to flax nn.Conv ((k, in, out) "kernel" + "bias") so
+    checkpoint converters are unaffected."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (self.kernel_size, h.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = strided_conv1d_as_matmul(h.astype(self.dtype), kernel, self.stride)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
 class ConvFeatureExtractor(nn.Module):
     """Strided conv1d stack turning waveform (B, T) into frames (B, T', C).
 
     Behavior parity with reference ConvFeatureExtractionModel "default" and
     "layer_norm" modes (/root/reference/WavLM/WavLM.py:378-504): valid (no)
-    padding, kaiming-normal init, fp32 group/layer norms, exact GELU.
+    padding, kaiming-normal init, fp32 group/layer norms, exact GELU. The
+    convs execute as im2col matmuls (see strided_conv1d_as_matmul) because
+    XLA's TPU conv lowering runs at ~4% MFU on these shapes.
     """
 
     cfg: EncoderConfig
@@ -157,15 +217,12 @@ class ConvFeatureExtractor(nn.Module):
         h = x[:, :, None].astype(self.dtype)  # (B, T, 1)
         mode = self.cfg.extractor_mode
         for i, (dim, k, stride) in enumerate(self.cfg.conv_layers):
-            h = nn.Conv(
+            h = Conv1dMM(
                 features=dim,
-                kernel_size=(k,),
-                strides=(stride,),
-                padding="VALID",
+                kernel_size=k,
+                stride=stride,
                 use_bias=self.cfg.conv_bias,
-                kernel_init=nn.initializers.he_normal(),
                 dtype=self.dtype,
-                param_dtype=jnp.float32,
                 name=f"conv_{i}",
             )(h)
             if mode == "layer_norm":
@@ -232,6 +289,18 @@ class PosConv(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _on_tpu() -> bool:
+    """True when the default backend executes on TPU hardware (the axon
+    plugin registers its own platform name, so check the device kind too)."""
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError:
+        return False
+    return jax.default_backend() == "tpu" or "TPU" in getattr(
+        dev, "device_kind", ""
+    )
+
+
 class SelfAttention(nn.Module):
     """Multi-head self-attention with optional gated rel-pos bias.
 
@@ -280,18 +349,21 @@ class SelfAttention(nn.Module):
             gate = rel_pos_gate(x, grep_w, grep_b, grep_a, H)
 
         use_dropout = cfg.attention_dropout > 0.0 and not deterministic
-        # Pallas fused kernel: TPU hot path (keeps (B,H,T,S) logits + gated
-        # bias VMEM-tile-resident). Attention dropout falls back to XLA —
-        # probs must be materialized to drop them.
-        if (
-            cfg.use_flash_attention
-            and not use_dropout
-            and jax.default_backend() == "tpu"
-        ):
+        # Pallas fused kernel: TPU hot path for training AND eval — logits,
+        # gated bias, probs and dropout masks live only in VMEM tiles, in
+        # both forward and backward (ops/pallas/flash_attention.py).
+        if cfg.use_flash_attention and _on_tpu():
             from unispeech_tpu.ops.pallas.flash_attention import fused_attention
 
+            seed = None
+            if use_dropout:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
             out = fused_attention(
-                q, k, v, position_bias, gate, key_padding_mask
+                q, k, v, position_bias, gate, key_padding_mask,
+                dropout_rate=cfg.attention_dropout if use_dropout else 0.0,
+                dropout_seed=seed,
             )
         else:
             bias = None
@@ -338,10 +410,20 @@ class GLULinear(nn.Module):
 
 class TransformerEncoderLayer(nn.Module):
     """Pre- or post-LN transformer layer
-    (/root/reference/WavLM/WavLM.py:615-742)."""
+    (/root/reference/WavLM/WavLM.py:615-742).
+
+    When `scanned=True` the layer acts as an `nn.scan` body: it applies
+    layerdrop internally and returns `(y, x_in-or-None)` so the encoder can
+    stack all layers into ONE compiled body (and `nn.remat` it) instead of
+    unrolling L copies — the TPU replacement for the reference's
+    checkpoint_activations wrapper.
+    """
 
     cfg: EncoderConfig
     dtype: Dtype = jnp.float32
+    deterministic: bool = True
+    scanned: bool = False
+    collect: bool = False
 
     @nn.compact
     def __call__(
@@ -349,9 +431,9 @@ class TransformerEncoderLayer(nn.Module):
         x: jax.Array,
         position_bias: Optional[jax.Array],
         key_padding_mask: Optional[jax.Array],
-        deterministic: bool = True,
-    ) -> jax.Array:
+    ):
         cfg = self.cfg
+        deterministic = self.deterministic
         act = get_activation(cfg.activation_fn)
         drop = lambda rate, h: (
             h
@@ -361,6 +443,7 @@ class TransformerEncoderLayer(nn.Module):
         attn = lambda h: SelfAttention(cfg, dtype=self.dtype, name="self_attn")(
             h, position_bias, key_padding_mask, deterministic
         )
+        x_in = x
 
         def ffn(h):
             if cfg.activation_fn == "glu":
@@ -395,7 +478,16 @@ class TransformerEncoderLayer(nn.Module):
         else:
             x = ln1(x + drop(cfg.dropout, attn(x)))
             x = ln2(x + drop(cfg.dropout, ffn(x)))
-        return x
+
+        if not self.scanned:
+            return x
+        if cfg.encoder_layerdrop > 0.0 and not deterministic:
+            keep = (
+                jax.random.uniform(self.make_rng("layerdrop"), ())
+                > cfg.encoder_layerdrop
+            )
+            x = jnp.where(keep, x, x_in)
+        return x, (x_in if self.collect else None)
 
 
 # ---------------------------------------------------------------------------
@@ -458,28 +550,57 @@ class TransformerEncoder(nn.Module):
                 table, T, T, cfg.num_buckets, cfg.max_distance
             ).astype(jnp.float32)
 
-        n_layers = cfg.encoder_layers if output_layer is None else output_layer
-        outputs = []
-        for i in range(cfg.encoder_layers):
-            if i >= n_layers:
-                break
+        L = cfg.encoder_layers
+        layer_outputs = None
+        if cfg.scan_layers:
+            # One compiled layer body scanned L times; per-layer activations
+            # rematerialized during backward (nothing but the (L, B, T, D)
+            # carries is saved). Params gain a leading L axis under "layers".
+            collect = collect_layer_outputs or output_layer is not None
+            Layer = TransformerEncoderLayer
+            if cfg.remat_layers:
+                Layer = nn.remat(Layer, prevent_cse=False)
+            ScanLayers = nn.scan(
+                Layer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "layerdrop": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=L,
+            )
+            x_final, ys = ScanLayers(
+                cfg,
+                dtype=self.dtype,
+                deterministic=deterministic,
+                scanned=True,
+                collect=collect,
+                name="layers",
+            )(x, position_bias, padding_mask)
+            if output_layer is not None and output_layer < L:
+                # output of 1-based layer p == input to 0-based layer p
+                x = ys[output_layer]
+            else:
+                x = x_final
+            if collect_layer_outputs:
+                layer_outputs = jnp.concatenate([ys, x_final[None]], axis=0)
+        else:
+            n_layers = L if output_layer is None else output_layer
+            outputs = []
+            for i in range(n_layers):
+                if collect_layer_outputs:
+                    outputs.append(x)
+                x = TransformerEncoderLayer(
+                    cfg,
+                    dtype=self.dtype,
+                    deterministic=deterministic,
+                    scanned=True,
+                    collect=False,
+                    name=f"layer_{i}",
+                )(x, position_bias, padding_mask)[0]
             if collect_layer_outputs:
                 outputs.append(x)
-            y = TransformerEncoderLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                x, position_bias, padding_mask, deterministic
-            )
-            if cfg.encoder_layerdrop > 0.0 and not deterministic:
-                rng = self.make_rng("layerdrop")
-                keep = jax.random.uniform(rng, ()) > cfg.encoder_layerdrop
-                y = jnp.where(keep, y, x)
-            x = y
+                layer_outputs = jnp.stack(outputs, axis=0)
 
         if cfg.layer_norm_first and output_layer is None:
             x = Fp32LayerNorm(eps=cfg.layer_norm_eps, name="layer_norm")(x)
 
-        if collect_layer_outputs:
-            outputs.append(x)
-            layer_outputs = jnp.stack(outputs, axis=0)
-        else:
-            layer_outputs = None
         return EncoderOutput(x=x, layer_outputs=layer_outputs, position_bias=position_bias)

@@ -51,6 +51,53 @@ def cosine_logits(
     return (xn @ en.T) / logit_temp
 
 
+def sample_instance_indices(
+    r_same: jax.Array,
+    r_cross: jax.Array,
+    lengths: jax.Array,  # (B,) valid frame counts
+    T: int,
+    n_same: int,
+    n_cross: int,
+) -> jax.Array:
+    """Flat (B*T)-indices of contrastive instances, (B, T, n_same+n_cross).
+
+    Padding-frame-free replacement for the reference's masked-frame pool
+    (src/fairseq/models/unispeech_sat/unispeech_sat.py:487-543): per query
+    frame (b, t), `n_same` draws uniform over row b's valid positions != t
+    (the reference's +1 skip trick) and `n_cross` draws uniform over the
+    batch's valid frames != (b, t) via rank arithmetic on exclusive
+    cumulative lengths. Never returns an index into padding.
+    """
+    B = lengths.shape[0]
+    t_pos = jnp.arange(T, dtype=jnp.int32)[None, :]  # (1, T)
+    idx_parts = []
+    if n_same > 0:
+        hi = jnp.maximum(lengths - 1, 1)[:, None, None]  # (B,1,1)
+        u = jax.random.uniform(r_same, (B, T, n_same))
+        r = (u * hi).astype(jnp.int32)
+        r = r + (r >= t_pos[..., None])
+        r = jnp.minimum(r, jnp.maximum(lengths[:, None, None] - 1, 0))
+        base = (jnp.arange(B, dtype=jnp.int32) * T)[:, None, None]
+        idx_parts.append(base + r)
+    if n_cross > 0:
+        cum = jnp.cumsum(lengths)  # (B,) inclusive
+        cum_ex = cum - lengths  # exclusive
+        total = cum[-1]
+        self_rank = cum_ex[:, None] + t_pos  # (B, T) rank if t valid
+        u = jax.random.uniform(r_cross, (B, T, n_cross))
+        j = (u * jnp.maximum(total - 1, 1)).astype(jnp.int32)
+        j = j + (j >= self_rank[..., None])
+        j = jnp.minimum(j, jnp.maximum(total - 1, 0))
+        row = (
+            jnp.searchsorted(cum, j.reshape(-1), side="right")
+            .astype(jnp.int32)
+            .reshape(B, T, n_cross)
+        )
+        offset = j - cum_ex[row]
+        idx_parts.append(row * T + offset)
+    return jnp.concatenate(idx_parts, axis=-1)
+
+
 class GLUProj(nn.Module):
     """target_glu: Linear(d, 2d) + GLU (sigmoid gate)
     (src/fairseq/models/wavlm/wavlm.py:322-326)."""
@@ -213,6 +260,7 @@ class HubertPretrainModel(nn.Module):
         if cfg.utterance_contrastive_loss:
             spk_logits, spk_targets, vq_result = self._speaker_contrastive(
                 tap(cfg.utterance_contrastive_layer),
+                out.padding_mask,
                 num_updates,
                 deterministic,
                 glu,
@@ -231,22 +279,32 @@ class HubertPretrainModel(nn.Module):
             vq_result=vq_result,
         )
 
-    def _speaker_contrastive(self, spk_x, num_updates, deterministic, glu):
+    def _speaker_contrastive(
+        self, spk_x, padding_mask, num_updates, deterministic, glu
+    ):
         """UniSpeech-SAT utterance/speaker contrastive branch.
 
         Reference: src/fairseq/models/unispeech_sat/unispeech_sat.py:699-758.
         For each (masked) frame: positive target is its own projected (or
         quantized) representation; N instances are drawn from the batch, each
         labeled 1 if it comes from the same utterance. BCE over cosine/temp
-        logits. Departure (documented): the instance pool is *all* frames
-        rather than only masked frames (the reference's masked-only pool
-        relies on equalized per-row mask counts for a dense reshape; the
-        label semantics — same-utterance vs not — are unchanged). The loss
+        logits. Departure (documented): the instance pool is all *valid*
+        frames rather than only masked frames (the reference's masked-only
+        pool relies on equalized per-row mask counts for a dense reshape; the
+        label semantics — same-utterance vs not — are unchanged). Padding
+        frames are never sampled: same-utterance draws are uniform over the
+        row's valid length, cross-batch draws are uniform over the batch's
+        total valid frames via cumulative-length rank arithmetic. The loss
         itself is still evaluated only at masked frames via loss weights.
         """
         cfg = self.cfg
         B, T, D = spk_x.shape
         final_dim = cfg.final_dim
+
+        if padding_mask is None:
+            lengths = jnp.full((B,), T, jnp.int32)
+        else:
+            lengths = (~padding_mask).sum(-1).astype(jnp.int32)
 
         if cfg.encoder.layer_norm_first:
             from unispeech_tpu.models.encoder import Fp32LayerNorm
@@ -282,32 +340,14 @@ class HubertPretrainModel(nn.Module):
         rng = self.make_rng("instances")
         r_same, r_cross = jax.random.split(rng)
 
-        # flat pool of (B*T) candidate instances; indices are non-diff but
+        # flat pool of valid candidate instances; indices are non-diff but
         # gradients flow through the gathered instances (reference gathers
         # outside no_grad, unispeech_sat.py:538)
         y_flat = y.reshape(B * T, -1)
         row_of = jnp.repeat(jnp.arange(B, dtype=jnp.int32), T)
-
-        idx_parts = []
-        if n_same > 0:
-            # same-utterance: uniform over T-1 positions != t (the +1 skip
-            # trick, unispeech_sat.py:505-513)
-            t_idx = jnp.broadcast_to(
-                jnp.arange(T, dtype=jnp.int32)[None, :, None], (B, T, n_same)
-            )
-            r = jax.random.randint(r_same, (B, T, n_same), 0, T - 1)
-            r = r + (r >= t_idx)
-            base = (jnp.arange(B, dtype=jnp.int32) * T)[:, None, None]
-            idx_parts.append(base + r)
-        if n_cross > 0:
-            flat_t = jnp.broadcast_to(
-                (jnp.arange(B * T, dtype=jnp.int32).reshape(B, T))[..., None],
-                (B, T, n_cross),
-            )
-            r = jax.random.randint(r_cross, (B, T, n_cross), 0, B * T - 1)
-            r = r + (r >= flat_t)
-            idx_parts.append(r)
-        idx = jnp.concatenate(idx_parts, axis=-1)  # (B, T, N)
+        idx = sample_instance_indices(
+            r_same, r_cross, lengths, T, n_same, n_cross
+        )  # (B, T, N) flat indices into (B*T)
 
         instances = y_flat[idx.reshape(-1)].reshape(B, T, N, -1)
         inst_rows = row_of[idx.reshape(-1)].reshape(B, T, N)

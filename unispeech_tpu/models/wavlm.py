@@ -91,19 +91,28 @@ class WavLM(nn.Module):
             else:
                 feats = jax.lax.stop_gradient(feats)
 
+        padding_mask = None
+        if lengths is not None:
+            padding_mask = frame_padding_mask(
+                lengths, source.shape[1], feats.shape[1]
+            )
+
         # L2 penalty on raw conv features (reference features_pen,
-        # src/fairseq/models/wavlm/wavlm.py:486) — fp32, includes padding
-        features_pen = jnp.mean(feats.astype(jnp.float32) ** 2)
+        # src/fairseq/models/wavlm/wavlm.py:486) — fp32, over VALID frames
+        # only (the reference's crops are unpadded; averaging over bucket
+        # padding would make the penalty depend on the bucket shape)
+        sq = feats.astype(jnp.float32) ** 2
+        if padding_mask is None:
+            features_pen = jnp.mean(sq)
+        else:
+            valid = (~padding_mask).astype(jnp.float32)[..., None]
+            features_pen = jnp.sum(sq * valid) / jnp.maximum(
+                jnp.sum(valid) * feats.shape[-1], 1.0
+            )
 
         conv_features = Fp32LayerNorm(eps=enc_cfg.layer_norm_eps, name="layer_norm")(
             feats
         )
-
-        padding_mask = None
-        if lengths is not None:
-            padding_mask = frame_padding_mask(
-                lengths, source.shape[1], conv_features.shape[1]
-            )
 
         if embed != D:
             features = nn.Dense(

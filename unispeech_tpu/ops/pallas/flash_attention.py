@@ -1,19 +1,26 @@
-"""Fused attention Pallas kernel with WavLM gated relative position bias.
+"""Fused attention Pallas kernels with WavLM gated relative position bias.
 
 The hot op of the whole family (SURVEY.md §3.1): the reference runs
 `F.multi_head_attention_forward` with the gated bias folded into attn_mask
 (/root/reference/WavLM/modules.py:540-563), materializing (B*H, T, S) logits
-in device memory. This kernel keeps the logits tile-resident in VMEM:
+in device memory. Here neither forward NOR backward ever materializes a
+(B, H, T, S) tensor in HBM:
 
-  grid = (B*H, T/TQ); each program loads one q tile + the full K/V for its
-  head (S ≈ 1k frames ⇒ K,V ≈ 0.5 MB in bf16 — comfortably VMEM-resident),
-  adds gate[b,h,t] * pos_bias[h,t,s] + padding mask, does an fp32 softmax and
-  multiplies by V. The (H,T,S) shared bias is streamed per q-tile; the
-  (B,H,T,S) gated bias never exists anywhere.
+  forward  — grid (B*H, T/TQ): one q tile + the full K/V per head stay
+             VMEM-resident; logits -> + gate[b,h,t] * pos_bias[h,t,s] +
+             padding mask -> fp32 softmax -> in-kernel dropout (pltpu PRNG,
+             reseedable per (head, q-tile)) -> PV. Emits out and the
+             log-sum-exp rows for backward.
+  backward — grid (H, B) with an inner q-tile loop: recomputes the
+             probabilities tile-by-tile from (q, k, lse) — flash-style
+             recompute, same dropout bits regenerated from the same seeds —
+             and produces dq, dk, dv, dgate in one pass plus dbias
+             accumulated across the batch via consecutive output-block
+             revisits (b is the innermost grid axis).
 
-Backward runs the XLA reference math under custom_vjp (recompute — same
-memory behavior as jax.checkpoint'ing the attention, which is how the train
-step remats anyway).
+Unlike round-1's kernel, head_dim is NOT padded to 128 (hd=64 runs as-is;
+Mosaic handles sub-lane-width minor dims) and attention dropout runs inside
+the kernel, so the kernel is live in every *training* configuration.
 """
 
 from __future__ import annotations
@@ -26,207 +33,420 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from unispeech_tpu.ops.attention import multihead_attention
-
 NEG_INF = -1e30
+_GOLDEN = 0x9E3779B9  # seed mixing constant
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel_bias(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, o_ref,
-                      *, scale: float):
-    """One (head, q-tile) program: logits -> +gate*bias -> +mask -> softmax -> PV."""
+def _tile_seed(seed, bh, qi):
+    # deterministic per (batch*head, q-tile) stream; wraps mod 2^32
+    mix = (jnp.uint32(bh) * jnp.uint32(131071) + jnp.uint32(qi)) * jnp.uint32(
+        _GOLDEN
+    )
+    return (seed.astype(jnp.uint32) + mix).astype(jnp.int32)
+
+
+def _keep_mask(shape, rate: float):
+    """Bernoulli(1-rate) from the seeded per-core PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = min(int(rate * 4294967296.0), 4294967295)
+    return bits >= jnp.uint32(threshold)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
+                o_ref, lse_ref, *, scale: float, rate: float, has_bias: bool):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
     q = q_ref[0]  # (TQ, hd)
     k = k_ref[0]  # (S, hd)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (TQ, S)
-    gate = gate_ref[0].astype(jnp.float32)  # (TQ, 1)
-    s = s + gate * bias_ref[0].astype(jnp.float32)
-    s = s + mask_ref[0].astype(jnp.float32)  # (1, S) additive, broadcasts
+    if has_bias:
+        gate = gate_ref[0].astype(jnp.float32)  # (TQ, 1)
+        s = s + gate * bias_ref[0].astype(jnp.float32)
+    s = s + mask_ref[0].astype(jnp.float32)  # (1, S) broadcasts
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    probs = p / l
+    if rate > 0.0:
+        pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qi))
+        keep = _keep_mask(probs.shape, rate)
+        probs = jnp.where(keep, probs * (1.0 / (1.0 - rate)), 0.0)
     o_ref[0] = jnp.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+        probs.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
+    lse_ref[0, :, 0] = (m + jnp.log(l))[:, 0]
 
 
-def _attn_kernel_nobias(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    s = s + mask_ref[0].astype(jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
+                 scale, rate, q_tile, H, interpret):
+    BH, Tp, hd = qh.shape
+    Sp = kh.shape[1]
+    has_bias = biasp is not None
+    grid = (BH, Tp // q_tile)
+
+    in_specs = [
+        pl.BlockSpec((1, q_tile, hd), lambda bh, qi, *_: (bh, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sp, hd), lambda bh, qi, *_: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sp, hd), lambda bh, qi, *_: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qh, kh, vh]
+    if has_bias:
+        in_specs += [
+            pl.BlockSpec((1, q_tile, Sp), lambda bh, qi, *_: (bh % H, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, 1), lambda bh, qi, *_: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [biasp, gatep]
+    in_specs.append(
+        pl.BlockSpec((1, 1, Sp), lambda bh, qi, *_: (bh // H, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(addmask)
+
+    kernel = functools.partial(
+        _fwd_kernel if has_bias else _fwd_kernel_nobias_adapter,
+        scale=scale, rate=rate, has_bias=has_bias,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, q_tile, hd), lambda bh, qi, *_: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_tile, 1), lambda bh, qi, *_: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tp, hd), qh.dtype),
+            jax.ShapeDtypeStruct((BH, Tp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Tp * Sp * hd,
+            bytes_accessed=(qh.size + kh.size + vh.size) * 2 + BH * Tp * hd * 2,
+            transcendentals=BH * Tp * Sp,
+        ),
+        interpret=interpret,
+    )(seed, *args)
+    return out, lse
 
 
-def _pallas_attention(
+def _fwd_kernel_nobias_adapter(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                               o_ref, lse_ref, *, scale, rate, has_bias):
+    _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
+                o_ref, lse_ref, scale=scale, rate=rate, has_bias=False)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
+                lse_ref, delta_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dgate_ref, dbias_ref,
+                dk_acc, dv_acc,
+                *, scale: float, rate: float, q_tile: int, H: int,
+                has_bias: bool):
+    """One (head, batch-row) program; inner loop over q tiles.
+
+    Gradient math (dropout folded in): with probs p = exp(s - lse),
+    keep-scale c = keep/(1-rate), out = (p*c) @ v:
+      dv    = (p*c)^T @ dO
+      dP    = dO @ v^T
+      dS    = p * (c*dP - delta),   delta = rowsum(dO * out)
+      dq    = dS @ k * scale ;  dk = dS^T @ q * scale
+      dgate = rowsum(dS * bias) ;  dbias += gate * dS   (accum over batch)
+    """
+    h = pl.program_id(0)
+    b = pl.program_id(1)
+    bh = b * H + h
+    n_tiles = pl.num_programs(0)  # unused; q tiles derived statically below
+
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(b == 0)
+    def _():
+        if has_bias:
+            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    k = k_ref[0]  # (S, hd)
+    v = v_ref[0]
+    Tp = q_ref.shape[1]
+    num_q_tiles = Tp // q_tile
+
+    for qi in range(num_q_tiles):
+        sl = pl.ds(qi * q_tile, q_tile)
+        q = q_ref[0, sl, :]  # (TQ, hd)
+        do = do_ref[0, sl, :]
+        lse = lse_ref[0, sl, :]  # (TQ, 1)
+        delta = delta_ref[0, sl, :]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if has_bias:
+            gate = gate_ref[0, sl, :].astype(jnp.float32)  # (TQ, 1)
+            bias = bias_ref[0, sl, :].astype(jnp.float32)  # (TQ, S)
+            s = s + gate * bias
+        s = s + mask_ref[0].astype(jnp.float32)
+        p = jnp.exp(s - lse)  # (TQ, S) = softmax probs
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (TQ, S)
+        if rate > 0.0:
+            pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qi))
+            keep = _keep_mask(p.shape, rate)
+            c = jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
+            pc = p * c
+            ds = p * (c * dp - delta)
+        else:
+            pc = p
+            ds = p * (dp - delta)
+
+        dv_acc[...] += jax.lax.dot_general(
+            pc.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S, hd)
+        dsl = ds.astype(q.dtype)
+        dk_acc[...] += jax.lax.dot_general(
+            dsl, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[0, sl, :] = (jax.lax.dot_general(
+            dsl, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
+
+        if has_bias:
+            dgate_ref[0, sl, 0] = jnp.sum(ds * bias, axis=-1)
+            dbias_ref[0, sl, :] += gate * ds
+
+    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_kernel_nobias_adapter(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                               lse_ref, delta_ref, do_ref,
+                               dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                               *, scale, rate, q_tile, H, has_bias):
+    _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
+                lse_ref, delta_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, None, None, dk_acc, dv_acc,
+                scale=scale, rate=rate, q_tile=q_tile, H=H, has_bias=False)
+
+
+def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
+                  scale, rate, q_tile, H, interpret):
+    BH, Tp, hd = qh.shape
+    Sp = kh.shape[1]
+    B = BH // H
+    has_bias = biasp is not None
+
+    # grid (H, B): b innermost so the dbias block (per h) is revisited by
+    # consecutive programs and accumulates across the batch.
+    grid = (H, B)
+
+    def bh_map(h, b, *_):
+        return (b * H + h, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, Tp, hd), bh_map, memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((1, Sp, hd), bh_map, memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, Sp, hd), bh_map, memory_space=pltpu.VMEM),  # v
+    ]
+    args = [qh, kh, vh]
+    if has_bias:
+        in_specs += [
+            pl.BlockSpec((1, Tp, Sp), lambda h, b, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM),  # bias (fp32: the bwd
+            # recompute must match the fwd logits bit-for-bit)
+            pl.BlockSpec((1, Tp, 1), bh_map, memory_space=pltpu.VMEM),  # gate
+        ]
+        args += [biasp, gatep]
+    in_specs += [
+        pl.BlockSpec((1, 1, Sp), lambda h, b, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),  # addmask
+        pl.BlockSpec((1, Tp, 1), bh_map, memory_space=pltpu.VMEM),  # lse
+        pl.BlockSpec((1, Tp, 1), bh_map, memory_space=pltpu.VMEM),  # delta
+        pl.BlockSpec((1, Tp, hd), bh_map, memory_space=pltpu.VMEM),  # dO
+    ]
+    args += [addmask, lse, delta, do]
+
+    out_specs = [
+        pl.BlockSpec((1, Tp, hd), bh_map, memory_space=pltpu.VMEM),  # dq
+        pl.BlockSpec((1, Sp, hd), bh_map, memory_space=pltpu.VMEM),  # dk
+        pl.BlockSpec((1, Sp, hd), bh_map, memory_space=pltpu.VMEM),  # dv
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((BH, Tp, hd), qh.dtype),
+        jax.ShapeDtypeStruct((BH, Sp, hd), kh.dtype),
+        jax.ShapeDtypeStruct((BH, Sp, hd), vh.dtype),
+    ]
+    if has_bias:
+        out_specs += [
+            pl.BlockSpec((1, Tp, 1), bh_map, memory_space=pltpu.VMEM),  # dgate
+            pl.BlockSpec((1, Tp, Sp), lambda h, b, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM),  # dbias (accumulated)
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((BH, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, Tp, Sp), jnp.float32),
+        ]
+
+    kernel = functools.partial(
+        _bwd_kernel if has_bias else _bwd_kernel_nobias_adapter,
+        scale=scale, rate=rate, q_tile=q_tile, H=H, has_bias=has_bias,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((Sp, hd), jnp.float32),  # dk accumulator
+                pltpu.VMEM((Sp, hd), jnp.float32),  # dv accumulator
+            ],
+        ),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * BH * Tp * Sp * hd,
+            bytes_accessed=(qh.size + kh.size + vh.size + do.size) * 2,
+            transcendentals=BH * Tp * Sp,
+        ),
+        interpret=interpret,
+    )(seed, *args)
+    if has_bias:
+        dq, dk, dv, dgate, dbias = outs
+        return dq, dk, dv, dbias, dgate
+    dq, dk, dv = outs
+    return dq, dk, dv, None, None
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp core over padded (B*H, Tp, hd) arrays
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _core(rate, q_tile, H, interpret, qh, kh, vh, biasp, gatep, addmask, seed):
+    out, _ = _run_forward(
+        qh, kh, vh, biasp, gatep, addmask, seed,
+        scale=qh.shape[-1] ** -0.5, rate=rate, q_tile=q_tile, H=H,
+        interpret=interpret,
+    )
+    return out
+
+
+def _core_fwd(rate, q_tile, H, interpret, qh, kh, vh, biasp, gatep, addmask,
+              seed):
+    out, lse = _run_forward(
+        qh, kh, vh, biasp, gatep, addmask, seed,
+        scale=qh.shape[-1] ** -0.5, rate=rate, q_tile=q_tile, H=H,
+        interpret=interpret,
+    )
+    return out, (qh, kh, vh, biasp, gatep, addmask, seed, out, lse)
+
+
+def _core_bwd(rate, q_tile, H, interpret, res, g):
+    qh, kh, vh, biasp, gatep, addmask, seed, out, lse = res
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    dq, dk, dv, dbias, dgate = _run_backward(
+        qh, kh, vh, biasp, gatep, addmask, seed, lse, delta,
+        g.astype(qh.dtype),
+        scale=qh.shape[-1] ** -0.5, rate=rate, q_tile=q_tile, H=H,
+        interpret=interpret,
+    )
+    return dq, dk, dv, dbias, dgate, None, None
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def fused_attention(
     q: jax.Array,  # (B, T, H, hd) unscaled
     k: jax.Array,
     v: jax.Array,
-    bias: Optional[jax.Array],  # (H, T, S) shared rel-pos bias
-    gate: Optional[jax.Array],  # (B, H, T) per-query gate (ones if ungated)
-    key_padding_mask: Optional[jax.Array],  # (B, S) True = pad
+    bias: Optional[jax.Array] = None,  # (H, T, S) shared rel-pos bias
+    gate: Optional[jax.Array] = None,  # (B, H, T) per-query gate
+    key_padding_mask: Optional[jax.Array] = None,  # (B, S) True = pad
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # scalar int32
     q_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
+    """Flash attention with factored gated rel-pos bias and in-kernel dropout.
+
+    Differentiable in q/k/v/bias/gate; the (B, H, T, S) gated bias and the
+    attention probabilities never exist in HBM in either direction.
+    """
     B, T, H, hd = q.shape
     S = k.shape[1]
-    scale = hd**-0.5
-    dtype = q.dtype
-
     Tp = _round_up(T, q_tile)
     Sp = _round_up(S, 128)
-    hdp = _round_up(hd, 128)
 
-    def pad(x, t_axis, to, hd_pad=False):
+    def pad_t(x, to, axis):
         cfg = [(0, 0)] * x.ndim
-        cfg[t_axis] = (0, to - x.shape[t_axis])
-        if hd_pad:
-            cfg[-1] = (0, hdp - x.shape[-1])
-        return jnp.pad(x, cfg)
+        cfg[axis] = (0, to - x.shape[axis])
+        return jnp.pad(x, cfg) if to > x.shape[axis] else x
 
-    # (B*H, Tp, hdp) layout
-    qh = pad(q, 1, Tp, True).transpose(0, 2, 1, 3).reshape(B * H, Tp, hdp)
-    kh = pad(k, 1, Sp, True).transpose(0, 2, 1, 3).reshape(B * H, Sp, hdp)
-    vh = pad(v, 1, Sp, True).transpose(0, 2, 1, 3).reshape(B * H, Sp, hdp)
+    # (B*H, Tp, hd)
+    qh = pad_t(q, Tp, 1).transpose(0, 2, 1, 3).reshape(B * H, Tp, hd)
+    kh = pad_t(k, Sp, 1).transpose(0, 2, 1, 3).reshape(B * H, Sp, hd)
+    vh = pad_t(v, Sp, 1).transpose(0, 2, 1, 3).reshape(B * H, Sp, hd)
 
-    # additive key mask, padding lanes included
     if key_padding_mask is None:
         addmask = jnp.zeros((B, Sp), jnp.float32)
     else:
-        addmask = jnp.where(pad(key_padding_mask, 1, Sp), NEG_INF, 0.0)
+        addmask = jnp.where(pad_t(key_padding_mask, Sp, 1), NEG_INF, 0.0)
     if Sp > S:
         addmask = addmask.at[:, S:].set(NEG_INF)
-    # (B, 1, Sp): block (1, 1, Sp) satisfies the TPU (8, 128) tiling rule
-    addmask = addmask.astype(jnp.float32)[:, None, :]
+    addmask = addmask.astype(jnp.float32)[:, None, :]  # (B, 1, Sp)
 
-    grid = (B * H, Tp // q_tile)
-    common_specs = [
-        pl.BlockSpec((1, q_tile, hdp), lambda bh, qi: (bh, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Sp, hdp), lambda bh, qi: (bh, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Sp, hdp), lambda bh, qi: (bh, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    mask_spec = pl.BlockSpec((1, 1, Sp), lambda bh, qi: (bh // H, 0, 0),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, q_tile, hdp), lambda bh, qi: (bh, qi, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B * H, Tp, hdp), dtype)
-    cost = pl.CostEstimate(
-        flops=4 * B * H * Tp * Sp * hdp,
-        bytes_accessed=(qh.size + kh.size + vh.size) * qh.dtype.itemsize,
-        transcendentals=B * H * Tp * Sp,
-    )
-
+    biasp = gatep = None
     if bias is not None:
-        biasp = pad(pad(bias, 1, Tp), 2, Sp).astype(jnp.float32)  # (H, Tp, Sp)
+        biasp = pad_t(pad_t(bias, Tp, 1), Sp, 2).astype(jnp.float32)
         if gate is None:
             gate = jnp.ones((B, H, T), jnp.float32)
-        # (B*H, Tp, 1): trailing dims (Tp, 1) are tiling-legal for a block
-        # of (q_tile, 1)
-        gatep = (
-            pad(gate, 2, Tp).astype(jnp.float32)
-            .reshape(B * H, Tp)[..., None]
-        )
-        kernel = functools.partial(_attn_kernel_bias, scale=scale)
-        in_specs = common_specs + [
-            pl.BlockSpec((1, q_tile, Sp), lambda bh, qi: (bh % H, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_tile, 1), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            mask_spec,
-        ]
-        out = pl.pallas_call(
-            kernel, out_shape=out_shape,
-            grid_spec=pl.GridSpec(grid=grid, in_specs=in_specs,
-                                  out_specs=out_spec),
-            cost_estimate=cost, interpret=interpret,
-        )(qh, kh, vh, biasp, gatep, addmask)
-    else:
-        kernel = functools.partial(_attn_kernel_nobias, scale=scale)
-        out = pl.pallas_call(
-            kernel, out_shape=out_shape,
-            grid_spec=pl.GridSpec(grid=grid, in_specs=common_specs + [mask_spec],
-                                  out_specs=out_spec),
-            cost_estimate=cost, interpret=interpret,
-        )(qh, kh, vh, addmask)
+        gatep = pad_t(gate, Tp, 2).astype(jnp.float32).reshape(B * H, Tp, 1)
 
-    out = out.reshape(B, H, Tp, hdp).transpose(0, 2, 1, 3)
-    return out[:, :T, :, :hd]
+    if dropout_seed is None or dropout_rate <= 0.0:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
 
-
-def _xla_attention(q, k, v, bias, gate, key_padding_mask):
-    """Reference math (ops/attention.py) with the gate applied to the shared
-    bias — used for the backward pass and as the CPU fallback."""
-    full_bias = None
-    if bias is not None:
-        b = bias.astype(jnp.float32)[None]  # (1, H, T, S)
-        if gate is not None:
-            b = gate.astype(jnp.float32)[..., None] * b
-        full_bias = b
-    return multihead_attention(
-        q, k, v, bias=full_bias, key_padding_mask=key_padding_mask,
-        deterministic=True,
+    out = _core(
+        float(dropout_rate), q_tile, H, interpret,
+        qh, kh, vh, biasp, gatep, addmask, seed,
     )
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_attention(q, k, v, bias, gate, key_padding_mask, interpret=False):
-    """Flash-style fused attention; differentiable (backward = XLA recompute).
-
-    Args mirror ops.attention.multihead_attention but with the WavLM bias in
-    factored form: bias (H, T, S) shared table expansion + gate (B, H, T).
-    """
-    return _pallas_attention(q, k, v, bias, gate, key_padding_mask,
-                             interpret=interpret)
-
-
-def _fused_fwd(q, k, v, bias, gate, key_padding_mask, interpret):
-    out = _pallas_attention(q, k, v, bias, gate, key_padding_mask,
-                            interpret=interpret)
-    return out, (q, k, v, bias, gate, key_padding_mask)
-
-
-def _fused_bwd(interpret, res, g):
-    q, k, v, bias, gate, key_padding_mask = res
-    # None-ness of bias/gate is static at trace time — branch in python so
-    # jax.vjp only differentiates real arrays
-    if bias is None:
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_: _xla_attention(q_, k_, v_, None, None,
-                                              key_padding_mask),
-            q, k, v,
-        )
-        dq, dk, dv = vjp(g)
-        return dq, dk, dv, None, None, None
-    if gate is None:
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_, b_: _xla_attention(q_, k_, v_, b_, None,
-                                                  key_padding_mask),
-            q, k, v, bias,
-        )
-        dq, dk, dv, db = vjp(g)
-        return dq, dk, dv, db, None, None
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_, g_: _xla_attention(q_, k_, v_, b_, g_,
-                                                  key_padding_mask),
-        q, k, v, bias, gate,
-    )
-    dq, dk, dv, db, dg = vjp(g)
-    return dq, dk, dv, db, dg, None
-
-
-fused_attention.defvjp(_fused_fwd, _fused_bwd)
+    out = out.reshape(B, H, Tp, hd).transpose(0, 2, 1, 3)
+    return out[:, :T]

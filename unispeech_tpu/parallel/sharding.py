@@ -74,8 +74,10 @@ def param_pspec(
     if tensor_parallel:
         for pat, rule in _TP_RULES:
             if re.match(pat, path):
-                spec = list(rule) + [None] * (len(shape) - len(rule))
-                spec = spec[: len(shape)]
+                # right-align: rules are written for the trailing (in, out)
+                # dims so they also cover nn.scan-stacked params (L, in, out)
+                pad = len(shape) - len(rule)
+                spec = [None] * max(pad, 0) + list(rule)[max(-pad, 0) :]
                 break
     if fsdp and int(np.prod(shape)) >= min_fsdp_size:
         # ZeRO-3-style: additionally shard the largest free axis over 'data'

@@ -40,6 +40,13 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fsdp", action="store_true", help="ZeRO-3 param sharding")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--tensorboard-dir", default=None)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation (reference update_freq)")
+    # multi-host bootstrap (reference distributed_init, distributed/utils.py)
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _encoder(args, **over):
@@ -62,6 +69,7 @@ def _loop_cfg(args):
         n_model=args.n_model,
         fsdp=args.fsdp,
         tensorboard_dir=args.tensorboard_dir,
+        accum_steps=args.accum_steps,
     )
 
 
@@ -291,6 +299,12 @@ def main(argv=None) -> None:
     fc.set_defaults(fn=cmd_finetune_ctc)
 
     args = parser.parse_args(argv)
+    # must run before any other jax use so every host sees the global mesh
+    from unispeech_tpu.parallel.bootstrap import maybe_initialize_distributed
+
+    maybe_initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
     args.fn(args)
 
 

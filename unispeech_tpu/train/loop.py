@@ -45,6 +45,8 @@ class LoopConfig:
     n_model: int = 1
     fsdp: bool = False
     tensorboard_dir: Optional[str] = None
+    # gradient accumulation (reference update_freq, trainer.py:689-705)
+    accum_steps: int = 1
 
 
 def run_training(
@@ -86,7 +88,9 @@ def run_training(
                                               if np.ndim(x) == 0 else x,
                                               restored_data))
 
-    step_fn = make_train_step(loss_fn, tx)
+    step_fn = make_train_step(loss_fn, tx, accum_steps=cfg.accum_steps)
+    if cfg.accum_steps > 1:
+        train_batches = group_microbatches(train_batches, cfg.accum_steps)
     eval_fn = None
     if eval_loss_fn is not None:
         def _eval(state, batch, rng):
@@ -150,6 +154,26 @@ def run_training(
     logger.close()
     vlogger.close()
     return state
+
+
+def group_microbatches(batches: Iterable[Dict], k: int) -> Iterable[Dict]:
+    """Stack k consecutive same-shape batches into one (k, ...) batch.
+
+    Replaces the reference's GroupedIterator (iterators.py:492). Batches are
+    buffered per bucket shape so mixed-bucket streams still group without
+    padding games; each yielded batch carries a leading (k, ...) axis for
+    `make_train_step(accum_steps=k)`.
+    """
+    buffers: Dict = {}
+    for b in batches:
+        key = tuple(sorted((name, v.shape) for name, v in b.items()))
+        buf = buffers.setdefault(key, [])
+        buf.append(b)
+        if len(buf) == k:
+            yield {
+                name: np.stack([mb[name] for mb in buf]) for name in buf[0]
+            }
+            buffers[key] = []
 
 
 def run_validation(state, eval_fn, batches, mesh, max_steps: int = 0) -> Dict:

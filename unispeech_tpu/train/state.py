@@ -48,32 +48,67 @@ def make_train_step(
     loss_fn: LossFn,
     tx: optax.GradientTransformation,
     donate_state: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jitted train step.
 
-    Gradient semantics match the reference: per-position losses are summed,
-    gradients normalized by the *global* sample size across all shards
-    (trainer.py:787-804), then clipped/stepped.
+    Gradient semantics match the reference: per-position losses are summed
+    across all microbatches, gradients normalized by the *global* sample
+    size (trainer.py:787-804), then clipped/stepped.
+
+    accum_steps > 1 reproduces the reference's `update_freq` gradient
+    accumulation (trainer.py:689-705, GroupedIterator): the batch pytree must
+    carry a leading (accum_steps, ...) axis; raw (unnormalized) gradients are
+    summed over microbatches with `lax.scan` and divided by the TOTAL sample
+    size — exactly equivalent to one step on the concatenated batch.
     """
+
+    def raw_objective(params, batch, rng, step):
+        loss, sample_size, metrics = loss_fn(params, batch, rng, step)
+        return loss, (sample_size, metrics)
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(raw_objective, has_aux=True)
 
-        def objective(params):
-            loss, sample_size, metrics = loss_fn(params, batch, rng, state.step)
-            denom = jnp.maximum(sample_size, 1.0)
-            return loss / denom, (sample_size, metrics)
+        if accum_steps == 1:
+            (loss, (sample_size, metrics)), grads = grad_fn(
+                state.params, batch, rng, state.step
+            )
+        else:
+            def body(carry, inp):
+                grads_acc, loss_acc, ss_acc, met_acc = carry
+                mb, i = inp
+                mrng = jax.random.fold_in(rng, i)
+                (l, (ss, met)), g = grad_fn(state.params, mb, mrng, state.step)
+                carry = (
+                    jax.tree.map(jnp.add, grads_acc, g),
+                    loss_acc + l,
+                    ss_acc + ss,
+                    jax.tree.map(jnp.add, met_acc, met),
+                )
+                return carry, None
 
-        (loss, (sample_size, metrics)), grads = jax.value_and_grad(
-            objective, has_aux=True
-        )(state.params)
+            mb0 = jax.tree.map(lambda x: x[0], batch)
+            (l0, (ss0, met0)), g0 = grad_fn(
+                state.params, mb0, jax.random.fold_in(rng, 0), state.step
+            )
+            rest = jax.tree.map(lambda x: x[1:], batch)
+            (grads, loss, sample_size, metrics), _ = jax.lax.scan(
+                body,
+                (g0, l0, ss0, met0),
+                (rest, jnp.arange(1, accum_steps)),
+            )
+
+        denom = jnp.maximum(sample_size, 1.0)
+        grads = jax.tree.map(lambda g: g / denom, grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         metrics = dict(metrics)
         metrics["grad_norm"] = gnorm
-        metrics["loss_per_sample"] = loss
+        metrics["loss_per_sample"] = loss / denom
         new_state = TrainState(
             step=state.step + 1, params=new_params, opt_state=new_opt
         )
