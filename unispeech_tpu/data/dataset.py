@@ -25,7 +25,7 @@ from unispeech_tpu.data.batching import (
 from unispeech_tpu.data.dictionary import Dictionary
 from unispeech_tpu.data.labels import LabelFile, align_labels_to_frames, crop_labels
 from unispeech_tpu.data.manifest import Manifest, load_audio
-from unispeech_tpu.data.mixing import MixingConfig, mix_batch_host
+from unispeech_tpu.data.mixing import MixingConfig, NoiseStore, mix_batch_host
 
 
 @dataclass
@@ -62,6 +62,7 @@ class PretrainIterator:
         frame_hop: int = 320,
         frames_fn=None,  # num_samples -> num_frames (EncoderConfig.num_frames)
         mixing: Optional[MixingConfig] = None,
+        noise: Optional[NoiseStore] = None,
         seed: int = 1,
         num_shards: int = 1,
         shard_id: int = 0,
@@ -72,6 +73,7 @@ class PretrainIterator:
         self.frame_hop = frame_hop
         self.frames_fn = frames_fn or (lambda n: max((n - 400) // frame_hop + 1, 0))
         self.mixing = mixing
+        self.noise = noise
         self.seed = seed
         self.num_shards = num_shards
         self.shard_id = shard_id
@@ -156,7 +158,9 @@ class PretrainIterator:
             source[r, : len(c)] = c
 
         if self.mixing is not None:
-            source = mix_batch_host(rng, source, lengths, self.mixing)
+            source = mix_batch_host(
+                rng, source, lengths, self.mixing, noise=self.noise
+            )
 
         batch: Dict[str, np.ndarray] = {"source": source, "lengths": lengths}
         if self.labels:

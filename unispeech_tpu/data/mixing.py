@@ -1,24 +1,33 @@
-"""Utterance / noise mixing augmentation (UniSpeech-SAT, WavLM).
+"""Utterance / noise mixing augmentation (UniSpeech-SAT, WavLM denoising).
 
 Reference behavior: `mixing_collated_audios`
 (/root/reference/src/fairseq/data/audio/utterance_mixing_dataset.py:373-438):
-with prob `mixing_prob` per utterance, overlay either another utterance from
-the batch or a noise clip, over a random region of length <= T/2, scaled to a
-random SNR (utterance: -5..5 dB, noise: -5..20 dB), then renormalize to the
-original energy.
+with prob `mixing_prob` per utterance, overlay `mixing_num` clips — each
+either another utterance of the batch (uniform over B, self included,
+SNR ~ U(-5,5) dB) or a noise-store clip (SNR ~ U(-5,20) dB) — where the clip
+length is U{0..T//2}, clip and target positions are uniform, the scale is
+sqrt(ref_pow / (src_pow * 10^(snr/10))) over FULL-utterance mean powers, and
+the mixed row is layer-normalized afterwards iff the dataset normalizes.
 
-Two implementations:
-  * `mix_batch_device` — the TPU-idiomatic one: pure-JAX, keyed RNG, runs
-    inside the jitted train step (deterministic across hosts; the hot host
-    loop of the reference collater moves onto the chip).
-  * `mix_batch_host` — numpy, byte-matching the same math for tests and for
-    CPU input pipelines.
+Noise store: a JSON list of {"loc": "h5path\tkey\tstart\tend"} entries over
+h5py files holding one int16 "wav" dataset
+(utterance_mixing_dataset.py:214-218, 385-391). `NoiseStore` reads that
+format and additionally accepts a plain TSV manifest of audio files
+(root + "relpath\tnsamples" lines) for h5py-free setups.
+
+Two mixers with identical math:
+  * `mix_batch_host`  — numpy, reference-parity, runs in the collater.
+  * `mix_batch_device`— pure-JAX keyed-RNG version of the same math for
+    in-step on-device augmentation (deterministic across hosts; noise clips
+    must be pre-cut to a fixed length).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,91 +40,78 @@ class MixingConfig:
     (utterance_mixing_pretraining.py:103-133)."""
 
     mixing_prob: float = 0.2
-    mixing_max_len: float = 0.5  # max overlap as a fraction of T (ref: T//2)
+    mixing_num: int = 1  # overlays per chosen utterance
+    # reference: mixing_max_len < 0 -> T//2, else T//mixing_max_len
+    mixing_max_len: int = -1
     source_snr_low: float = -5.0  # utterance-mix SNR range (dB)
     source_snr_high: float = 5.0
     noise_snr_low: float = -5.0  # noise-mix SNR range (dB)
     noise_snr_high: float = 20.0
-    noise_prob: float = 0.0  # probability a mix uses noise instead of speech
+    mixing_noise_prob: float = 0.0  # probability a mix uses noise
+    mixing_noise_num: int = 1
+    normalize_after: bool = False  # layer-norm mixed rows (dataset.normalize)
+
+    def max_overlap(self, T: int) -> int:
+        m = T // 2 if self.mixing_max_len < 0 else T // self.mixing_max_len
+        return min(m, T)
 
 
-def _snr_scale(energy_tgt, energy_src, snr_db):
-    """Scale for src so that 10*log10(E_tgt / (s^2 E_src)) == snr_db."""
-    ratio = energy_tgt / jnp.maximum(energy_src, 1e-10)
-    return jnp.sqrt(ratio * (10.0 ** (-snr_db / 10.0)))
+class NoiseStore:
+    """Noise-clip source for denoising pretraining.
+
+    Accepts the reference's JSON-of-h5py-slices format
+    (utterance_mixing_dataset.py:214-218) or a TSV manifest of audio files
+    (same format as data/manifest.py). Clips load lazily; h5py files stay
+    open in a handle cache like the reference's noise_container.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._h5 = {}
+        if path.endswith(".json"):
+            self.entries = json.load(open(path))
+            self.kind = "h5"
+        else:
+            from unispeech_tpu.data.manifest import Manifest
+
+            self.manifest = Manifest.load(path)
+            self.entries = list(range(len(self.manifest)))
+            self.kind = "tsv"
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def get(self, i: int) -> np.ndarray:
+        if self.kind == "h5":
+            import h5py  # optional dep, only for reference-format stores
+
+            path, key, start, end = self.entries[i]["loc"].split("\t")
+            if path not in self._h5:
+                self._h5[path] = h5py.File(path, "r")["wav"]
+            clip = self._h5[path][int(start) : int(end)]
+            return clip.astype(np.float32) / np.iinfo(np.int16).max
+        from unispeech_tpu.data.manifest import load_audio
+
+        return load_audio(self.manifest.abspath(i))
+
+    def sample(self, rng: np.random.Generator, n: int) -> List[np.ndarray]:
+        return [self.get(int(rng.integers(0, len(self)))) for _ in range(n)]
+
+    def precut(self, rng: np.random.Generator, n: int, length: int) -> np.ndarray:
+        """(n, length) fixed-shape clips for the device-side mixer."""
+        out = np.zeros((n, length), np.float32)
+        for r in range(n):
+            clip = self.get(int(rng.integers(0, len(self))))
+            if len(clip) >= length:
+                s = int(rng.integers(0, len(clip) - length + 1))
+                out[r] = clip[s : s + length]
+            else:
+                out[r, : len(clip)] = clip
+        return out
 
 
-def mix_batch_device(
-    rng: jax.Array,
-    audio: jax.Array,  # (B, T)
-    lengths: Optional[jax.Array],  # (B,) or None
-    cfg: MixingConfig,
-    noise: Optional[jax.Array] = None,  # (N, T) pre-cut noise clips
-) -> jax.Array:
-    """Keyed, jit-compatible utterance/noise mixing."""
-    B, T = audio.shape
-    if lengths is None:
-        lengths = jnp.full((B,), T, jnp.int32)
-    k_sel, k_part, k_pos, k_snr, k_noise, k_nidx, k_start = jax.random.split(rng, 7)
-
-    do_mix = jax.random.uniform(k_sel, (B,)) < cfg.mixing_prob
-    use_noise = (
-        (jax.random.uniform(k_noise, (B,)) < cfg.noise_prob)
-        if noise is not None
-        else jnp.zeros((B,), bool)
-    )
-
-    # mixing partner: another row of the batch (uniform, != self)
-    part = jax.random.randint(k_part, (B,), 0, B - 1)
-    part = part + (part >= jnp.arange(B))
-    src_speech = audio[part]
-    src_len_speech = lengths[part]
-
-    if noise is not None:
-        nidx = jax.random.randint(k_nidx, (B,), 0, noise.shape[0])
-        src = jnp.where(use_noise[:, None], noise[nidx], src_speech)
-        src_len = jnp.where(use_noise, noise.shape[1], src_len_speech)
-    else:
-        src, src_len = src_speech, src_len_speech
-
-    # overlap region: length <= mixing_max_len * valid, random start within
-    # the valid span of the target (reference: c_length = rand(0, T//2),
-    # start = rand(0, T - c_length))
-    max_len = (cfg.mixing_max_len * lengths).astype(jnp.int32)
-    max_len = jnp.minimum(max_len, src_len.astype(jnp.int32))
-    u = jax.random.uniform(k_pos, (B, 2))
-    mix_len = (u[:, 0] * jnp.maximum(max_len, 1)).astype(jnp.int32)
-    start = (u[:, 1] * jnp.maximum(lengths - mix_len, 1)).astype(jnp.int32)
-
-    t = jnp.arange(T)[None, :]
-    region = (t >= start[:, None]) & (t < (start + mix_len)[:, None])
-
-    snr_u = jax.random.uniform(k_snr, (B,))
-    snr_speech = cfg.source_snr_low + snr_u * (cfg.source_snr_high - cfg.source_snr_low)
-    snr_noise = cfg.noise_snr_low + snr_u * (cfg.noise_snr_high - cfg.noise_snr_low)
-    snr = jnp.where(use_noise, snr_noise, snr_speech)
-
-    # shift source so its clip starts at the region start
-    src_start = (jax.random.uniform(k_start, (B,))
-                 * jnp.maximum(src_len - mix_len, 1)).astype(jnp.int32)
-    shift = start - src_start
-    src_shifted = jax.vmap(lambda s, sh: jnp.roll(s, sh))(src, shift)
-
-    e_tgt = jnp.sum(jnp.where(region, audio, 0.0) ** 2, -1)
-    e_src = jnp.sum(jnp.where(region, src_shifted, 0.0) ** 2, -1)
-    scale = _snr_scale(e_tgt, e_src, snr)
-
-    mixed = audio + jnp.where(region, src_shifted, 0.0) * scale[:, None]
-    # renormalize to original max amplitude (reference renormalizes after mix)
-    peak_before = jnp.max(jnp.abs(audio), -1)
-    peak_after = jnp.max(jnp.abs(mixed), -1)
-    gain = jnp.where(
-        peak_after > 1e-8, peak_before / jnp.maximum(peak_after, 1e-8), 1.0
-    )
-    mixed = mixed * gain[:, None]
-
-    apply = do_mix & (mix_len > 0)
-    return jnp.where(apply[:, None], mixed, audio)
+def _layer_norm_1d(x: np.ndarray) -> np.ndarray:
+    return (x - x.mean()) / np.sqrt(x.var() + 1e-5)
 
 
 def mix_batch_host(
@@ -123,42 +119,131 @@ def mix_batch_host(
     audio: np.ndarray,  # (B, T) float32
     lengths: Optional[np.ndarray],
     cfg: MixingConfig,
-    noise: Optional[np.ndarray] = None,
+    noise: Optional[NoiseStore] = None,
+    noise_clips: Optional[Sequence[np.ndarray]] = None,
 ) -> np.ndarray:
-    """Numpy reference-parity collater-side mixing."""
+    """Numpy reference-parity collater-side mixing
+    (utterance_mixing_dataset.py:373-438; `lengths` unused by the reference —
+    kept for API symmetry with the device mixer)."""
     B, T = audio.shape
     out = audio.copy()
-    if lengths is None:
-        lengths = np.full((B,), T, np.int64)
+    max_len = cfg.max_overlap(T)
+
+    def overlay(i: int, src: np.ndarray) -> None:
+        src_T = len(src)
+        c_len = min(int(rng.integers(0, max_len + 1)), src_T)
+        c_end = int(rng.integers(c_len, src_T + 1))
+        c_start = c_end - c_len
+        s_end = int(rng.integers(c_len, T + 1))
+        s_start = s_end - c_len
+        out[i, s_start:s_end] += src[c_start:c_end]
+
     for i in range(B):
         if rng.random() >= cfg.mixing_prob:
             continue
-        use_noise = noise is not None and rng.random() < cfg.noise_prob
+        use_noise = (
+            (noise is not None or noise_clips is not None)
+            and rng.random() < cfg.mixing_noise_prob
+        )
         if use_noise:
-            src = noise[rng.integers(0, len(noise))]
-            lo, hi = cfg.noise_snr_low, cfg.noise_snr_high
+            if noise_clips is not None:
+                picks = [
+                    noise_clips[int(rng.integers(0, len(noise_clips)))]
+                    for _ in range(cfg.mixing_noise_num)
+                ]
+            else:
+                picks = noise.sample(rng, cfg.mixing_noise_num)
+            for clip in picks:
+                ref_pow = float(np.mean(out[i] ** 2))
+                src_pow = float(np.mean(clip**2))
+                if src_pow == 0:
+                    scale = 0.0
+                else:
+                    snr = rng.uniform(cfg.noise_snr_low, cfg.noise_snr_high)
+                    scale = (ref_pow / (src_pow * 10 ** (snr / 10))) ** 0.5
+                overlay(i, clip * scale)
         else:
-            j = rng.integers(0, B - 1)
-            j = j + (j >= i)
-            src = audio[j][: lengths[j]]
-            lo, hi = cfg.source_snr_low, cfg.source_snr_high
-        li = int(lengths[i])
-        max_len = int(min(cfg.mixing_max_len * li, len(src)))
-        if max_len < 1:
-            continue
-        mix_len = int(rng.integers(0, max_len)) if max_len > 1 else 1
-        if mix_len == 0:
-            continue
-        start = int(rng.integers(0, max(li - mix_len, 1)))
-        s0 = int(rng.integers(0, max(len(src) - mix_len, 1)))
-        clip = src[s0 : s0 + mix_len]
-        snr = lo + rng.random() * (hi - lo)
-        e_tgt = float(np.sum(out[i, start : start + mix_len] ** 2))
-        e_src = float(np.sum(clip**2))
-        scale = np.sqrt(max(e_tgt, 1e-10) / max(e_src, 1e-10) * 10 ** (-snr / 10))
-        peak_before = np.max(np.abs(out[i])) or 1.0
-        out[i, start : start + mix_len] += clip * scale
-        peak_after = np.max(np.abs(out[i]))
-        if peak_after > 1e-8:
-            out[i] *= peak_before / peak_after
+            choices = rng.integers(0, B, size=cfg.mixing_num)  # self included
+            for c in choices:
+                ref_pow = float(np.mean(out[i] ** 2))
+                src_pow = float(np.mean(audio[c] ** 2))
+                if src_pow == 0:
+                    scale = 0.0
+                else:
+                    snr = rng.uniform(cfg.source_snr_low, cfg.source_snr_high)
+                    scale = (ref_pow / (src_pow * 10 ** (snr / 10))) ** 0.5
+                overlay(i, audio[c] * scale)
+        if cfg.normalize_after:
+            out[i] = _layer_norm_1d(out[i])
     return out
+
+
+def mix_batch_device(
+    rng: jax.Array,
+    audio: jax.Array,  # (B, T)
+    lengths: Optional[jax.Array],  # (B,) or None (unused; API symmetry)
+    cfg: MixingConfig,
+    noise: Optional[jax.Array] = None,  # (N, T) pre-cut noise clips
+) -> jax.Array:
+    """Keyed, jit-compatible version of the same mixing math.
+
+    One overlay per row (mixing_num=1 — the recipes' setting); noise clips
+    must be pre-cut to length T (NoiseStore.precut). Scales use
+    full-utterance mean powers like the reference.
+    """
+    B, T = audio.shape
+    max_len = cfg.max_overlap(T)
+    keys = jax.random.split(rng, 8)
+    k_sel, k_noise, k_part, k_len, k_cpos, k_spos, k_snr, k_nidx = keys
+
+    do_mix = jax.random.uniform(k_sel, (B,)) < cfg.mixing_prob
+    has_noise = noise is not None
+    use_noise = (
+        (jax.random.uniform(k_noise, (B,)) < cfg.mixing_noise_prob)
+        if has_noise
+        else jnp.zeros((B,), bool)
+    )
+
+    part = jax.random.randint(k_part, (B,), 0, B)  # self included (reference)
+    src = audio[part]
+    if has_noise:
+        nidx = jax.random.randint(k_nidx, (B,), 0, noise.shape[0])
+        src = jnp.where(use_noise[:, None], noise[nidx], src)
+
+    c_len = jax.random.randint(k_len, (B,), 0, max_len + 1)
+    # c_end ~ U{c_len..T}; start positions via uniform in the residual span
+    u_c = jax.random.uniform(k_cpos, (B,))
+    u_s = jax.random.uniform(k_spos, (B,))
+    c_start = (u_c * (T - c_len + 1)).astype(jnp.int32)
+    s_start = (u_s * (T - c_len + 1)).astype(jnp.int32)
+
+    snr_u = jax.random.uniform(k_snr, (B,))
+    snr_speech = cfg.source_snr_low + snr_u * (
+        cfg.source_snr_high - cfg.source_snr_low
+    )
+    snr_noise = cfg.noise_snr_low + snr_u * (
+        cfg.noise_snr_high - cfg.noise_snr_low
+    )
+    snr = jnp.where(use_noise, snr_noise, snr_speech)
+
+    ref_pow = jnp.mean(audio**2, -1)
+    src_pow = jnp.mean(src**2, -1)
+    scale = jnp.where(
+        src_pow > 0,
+        jnp.sqrt(ref_pow / jnp.maximum(src_pow * 10 ** (snr / 10), 1e-10)),
+        0.0,
+    )
+
+    # shift src so that src[c_start] lands at target position s_start
+    t = jnp.arange(T)[None, :]
+    region = (t >= s_start[:, None]) & (t < (s_start + c_len)[:, None])
+    shift = s_start - c_start
+    src_shifted = jax.vmap(lambda s, sh: jnp.roll(s, sh))(src, shift)
+
+    mixed = audio + jnp.where(region, src_shifted, 0.0) * scale[:, None]
+    if cfg.normalize_after:
+        mean = mixed.mean(-1, keepdims=True)
+        var = mixed.var(-1, keepdims=True)
+        mixed = (mixed - mean) * jax.lax.rsqrt(var + 1e-5)
+
+    return jnp.where(do_mix[:, None], mixed, audio)

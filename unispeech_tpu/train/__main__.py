@@ -89,7 +89,7 @@ def cmd_pretrain_hubert(args) -> None:
     from unispeech_tpu.data.dataset import PretrainIterator
     from unispeech_tpu.data.labels import LabelFile
     from unispeech_tpu.data.manifest import Manifest
-    from unispeech_tpu.data.mixing import MixingConfig
+    from unispeech_tpu.data.mixing import MixingConfig, NoiseStore
     from unispeech_tpu.models.hubert import HubertPretrainModel
     from unispeech_tpu.train.loop import run_training
     from unispeech_tpu.train.losses import HubertCriterionConfig
@@ -117,8 +117,15 @@ def cmd_pretrain_hubert(args) -> None:
     model = HubertPretrainModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     man = Manifest.load(args.manifest)
     mixing = (
-        MixingConfig(mixing_prob=args.mixing_prob) if args.mixing_prob > 0 else None
+        MixingConfig(
+            mixing_prob=args.mixing_prob,
+            mixing_num=args.mixing_num,
+            mixing_noise_prob=args.noise_prob,
+        )
+        if args.mixing_prob > 0
+        else None
     )
+    noise = NoiseStore(args.noise_path) if args.noise_path else None
     data = PretrainIterator(
         man,
         _data_cfg(args, label_rate=args.label_rate),
@@ -126,6 +133,7 @@ def cmd_pretrain_hubert(args) -> None:
         frame_hop=enc.frame_hop,
         frames_fn=enc.num_frames,
         mixing=mixing,
+        noise=noise,
         seed=args.seed,
         num_shards=jax.process_count(),
         shard_id=jax.process_index(),
@@ -274,6 +282,12 @@ def main(argv=None) -> None:
     ph.add_argument("--sat", action="store_true",
                     help="UniSpeech-SAT speaker contrastive branch")
     ph.add_argument("--mixing-prob", type=float, default=0.0)
+    ph.add_argument("--mixing-num", type=int, default=1)
+    ph.add_argument("--noise-path", default=None,
+                    help="noise store: reference JSON-of-h5py-slices or a "
+                         "TSV audio manifest (WavLM denoising)")
+    ph.add_argument("--noise-prob", type=float, default=0.0,
+                    help="probability a mix overlays noise instead of speech")
     ph.add_argument("--no-rel-pos", action="store_true")
     ph.set_defaults(fn=cmd_pretrain_hubert)
 
