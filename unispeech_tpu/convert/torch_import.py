@@ -65,7 +65,8 @@ def wavlm_params_from_reference(
             "kernel": _t(sd["post_extract_proj.weight"]),
             "bias": sd["post_extract_proj.bias"],
         }
-    p["mask_emb"] = sd["mask_emb"]
+    if "mask_emb" in sd:  # absent in some fine-tuned exports
+        p["mask_emb"] = sd["mask_emb"]
 
     # encoder
     e: Dict = {}
