@@ -11,12 +11,16 @@ in device memory. Here neither forward NOR backward ever materializes a
              padding mask -> fp32 softmax -> in-kernel dropout (pltpu PRNG,
              reseedable per (head, q-tile)) -> PV. Emits out and the
              log-sum-exp rows for backward.
-  backward — grid (H, B) with an inner q-tile loop: recomputes the
-             probabilities tile-by-tile from (q, k, lse) — flash-style
-             recompute, same dropout bits regenerated from the same seeds —
-             and produces dq, dk, dv, dgate in one pass plus dbias
-             accumulated across the batch via consecutive output-block
-             revisits (b is the innermost grid axis).
+  backward — standard two-kernel flash split, each tile-parallel and far
+             under the ~16MB VMEM budget (a single-kernel variant holding
+             full (Tp, Sp) fp32 bias + dbias blocks per program exceeds it):
+               dq kernel, grid (H, QT, B): recomputes probabilities for one
+                 q tile from (q, k, lse) — same dropout bits regenerated
+                 from the same seeds — and emits dq, dgate, and dbias
+                 accumulated across the batch via consecutive output-block
+                 revisits (b is the innermost grid axis).
+               dkv kernel, grid (B*H, KT): recomputes the same probabilities
+                 for one k tile over all q rows and emits dk, dv.
 
 Unlike round-1's kernel, head_dim is NOT padded to 128 (hd=64 runs as-is;
 Mosaic handles sub-lane-width minor dims) and attention dropout runs inside
@@ -161,63 +165,133 @@ def _fwd_kernel_nobias_adapter(seed_ref, q_ref, k_ref, v_ref, mask_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
-                lse_ref, delta_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dgate_ref, dbias_ref,
-                dk_acc, dv_acc,
-                *, scale: float, rate: float, q_tile: int, H: int,
-                has_bias: bool):
-    """One (head, batch-row) program; inner loop over q tiles.
+def _recompute_probs(q, k, lse, gate, bias, addmask, *, scale, has_bias):
+    """(TQ, S|KT) probabilities p = exp(s - lse), recomputed exactly like
+    the forward (bias/gate in fp32 so the logits match bit-for-bit)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if has_bias:
+        s = s + gate * bias
+    s = s + addmask
+    return jnp.exp(s - lse)
+
+
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
+               lse_ref, delta_ref, do_ref,
+               dq_ref, dgate_ref, dbias_ref,
+               *, scale: float, rate: float, H: int, has_bias: bool):
+    """One (head, q-tile, batch-row) program.
 
     Gradient math (dropout folded in): with probs p = exp(s - lse),
     keep-scale c = keep/(1-rate), out = (p*c) @ v:
-      dv    = (p*c)^T @ dO
       dP    = dO @ v^T
       dS    = p * (c*dP - delta),   delta = rowsum(dO * out)
-      dq    = dS @ k * scale ;  dk = dS^T @ q * scale
-      dgate = rowsum(dS * bias) ;  dbias += gate * dS   (accum over batch)
+      dq    = dS @ k * scale
+      dgate = rowsum(dS * bias) ;  dbias += gate * dS   (accum over batch,
+              b innermost so the (h, qi) dbias block revisits consecutively)
     """
     h = pl.program_id(0)
-    b = pl.program_id(1)
+    qi = pl.program_id(1)
+    b = pl.program_id(2)
     bh = b * H + h
-    n_tiles = pl.num_programs(0)  # unused; q tiles derived statically below
+
+    if has_bias:
+        @pl.when(b == 0)
+        def _():
+            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    q = q_ref[0]  # (TQ, hd)
+    k = k_ref[0]  # (S, hd)
+    do = do_ref[0]
+    lse = lse_ref[0]  # (TQ, 1)
+    delta = delta_ref[0]
+    gate = gate_ref[0].astype(jnp.float32) if has_bias else None  # (TQ, 1)
+    bias = bias_ref[0].astype(jnp.float32) if has_bias else None  # (TQ, S)
+
+    p = _recompute_probs(
+        q, k, lse, gate, bias, mask_ref[0].astype(jnp.float32),
+        scale=scale, has_bias=has_bias,
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TQ, S)
+    if rate > 0.0:
+        pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qi))
+        keep = _keep_mask(p.shape, rate)
+        c = jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
+        ds = p * (c * dp - delta)
+    else:
+        ds = p * (dp - delta)
+
+    dq_ref[0] = (jax.lax.dot_general(
+        ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dq_ref.dtype)
+
+    if has_bias:
+        dgate_ref[0, :, 0] = jnp.sum(ds * bias, axis=-1)
+        dbias_ref[0] += gate * ds
+
+
+def _dq_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                      lse_ref, delta_ref, do_ref, dq_ref,
+                      *, scale, rate, H, has_bias):
+    _dq_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
+               lse_ref, delta_ref, do_ref, dq_ref, None, None,
+               scale=scale, rate=rate, H=H, has_bias=False)
+
+
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
+                lse_ref, delta_ref, do_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, bits_scratch,
+                *, scale: float, rate: float, q_tile: int, k_tile: int,
+                H: int, has_bias: bool):
+    """One (batch*head, k-tile) program; inner loop over q tiles.
+
+      dv = (p*c)^T @ dO ;  dk = dS^T @ q * scale
+    The dropout keep-mask is regenerated from the same per-(bh, q-tile)
+    seeds as the forward, then column-sliced to this k tile.
+    """
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
 
     dk_acc[...] = jnp.zeros_like(dk_acc)
     dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when(b == 0)
-    def _():
-        if has_bias:
-            dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
-
-    k = k_ref[0]  # (S, hd)
+    k = k_ref[0]  # (KT, hd)
     v = v_ref[0]
     Tp = q_ref.shape[1]
-    num_q_tiles = Tp // q_tile
+    Sp_full = mask_ref.shape[2] if rate > 0.0 else 0  # full padded S for RNG
+    mask = mask_ref[0, :, pl.ds(ki * k_tile, k_tile)].astype(jnp.float32)
 
-    for qi in range(num_q_tiles):
+    for qi in range(Tp // q_tile):
         sl = pl.ds(qi * q_tile, q_tile)
         q = q_ref[0, sl, :]  # (TQ, hd)
         do = do_ref[0, sl, :]
-        lse = lse_ref[0, sl, :]  # (TQ, 1)
+        lse = lse_ref[0, sl, :]
         delta = delta_ref[0, sl, :]
+        gate = gate_ref[0, sl, :].astype(jnp.float32) if has_bias else None
+        bias = bias_ref[0, sl, :].astype(jnp.float32) if has_bias else None
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if has_bias:
-            gate = gate_ref[0, sl, :].astype(jnp.float32)  # (TQ, 1)
-            bias = bias_ref[0, sl, :].astype(jnp.float32)  # (TQ, S)
-            s = s + gate * bias
-        s = s + mask_ref[0].astype(jnp.float32)
-        p = jnp.exp(s - lse)  # (TQ, S) = softmax probs
-
+        p = _recompute_probs(
+            q, k, lse, gate, bias, mask, scale=scale, has_bias=has_bias
+        )  # (TQ, KT)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (TQ, S)
+        )  # (TQ, KT)
         if rate > 0.0:
+            # same bit stream as the forward's (TQ, Sp) draw, staged through
+            # a VMEM scratch so this k tile's columns can be ref-sliced
+            # (Mosaic has no dynamic_slice on values)
             pltpu.prng_seed(_tile_seed(seed_ref[0], bh, qi))
-            keep = _keep_mask(p.shape, rate)
+            bits_scratch[...] = pltpu.bitcast(
+                pltpu.prng_random_bits((q_tile, Sp_full)), jnp.uint32
+            )
+            cols = bits_scratch[:, pl.ds(ki * k_tile, k_tile)]
+            threshold = min(int(rate * 4294967296.0), 4294967295)
+            keep = cols >= jnp.uint32(threshold)
             c = jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
             pc = p * c
             ds = p * (c * dp - delta)
@@ -228,33 +302,25 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
         dv_acc[...] += jax.lax.dot_general(
             pc.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (S, hd)
-        dsl = ds.astype(q.dtype)
+        )  # (KT, hd)
         dk_acc[...] += jax.lax.dot_general(
-            dsl, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        dq_ref[0, sl, :] = (jax.lax.dot_general(
-            dsl, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale).astype(dq_ref.dtype)
-
-        if has_bias:
-            dgate_ref[0, sl, 0] = jnp.sum(ds * bias, axis=-1)
-            dbias_ref[0, sl, :] += gate * ds
 
     dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
     dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd_kernel_nobias_adapter(seed_ref, q_ref, k_ref, v_ref, mask_ref,
-                               lse_ref, delta_ref, do_ref,
-                               dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                               *, scale, rate, q_tile, H, has_bias):
-    _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
-                lse_ref, delta_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, None, None, dk_acc, dv_acc,
-                scale=scale, rate=rate, q_tile=q_tile, H=H, has_bias=False)
+def _dkv_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                       lse_ref, delta_ref, do_ref,
+                       dk_ref, dv_ref, dk_acc, dv_acc, bits_scratch,
+                       *, scale, rate, q_tile, k_tile, H, has_bias):
+    _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
+                lse_ref, delta_ref, do_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                bits_scratch,
+                scale=scale, rate=rate, q_tile=q_tile, k_tile=k_tile,
+                H=H, has_bias=False)
 
 
 def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
@@ -263,51 +329,47 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
     Sp = kh.shape[1]
     B = BH // H
     has_bias = biasp is not None
+    k_tile = min(q_tile, Sp)
 
-    # grid (H, B): b innermost so the dbias block (per h) is revisited by
-    # consecutive programs and accumulates across the batch.
-    grid = (H, B)
+    # ---- dq / dgate / dbias kernel: grid (H, QT, B), b innermost so each
+    # (h, qi) dbias block accumulates across consecutive revisits.
+    def bh_q_map(h, qi, b, *_):
+        return (b * H + h, qi, 0)
 
-    def bh_map(h, b, *_):
+    def bh_full_map(h, qi, b, *_):
         return (b * H + h, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, Tp, hd), bh_map, memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((1, Sp, hd), bh_map, memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, Sp, hd), bh_map, memory_space=pltpu.VMEM),  # v
+        pl.BlockSpec((1, q_tile, hd), bh_q_map, memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((1, Sp, hd), bh_full_map, memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, Sp, hd), bh_full_map, memory_space=pltpu.VMEM),  # v
     ]
     args = [qh, kh, vh]
     if has_bias:
         in_specs += [
-            pl.BlockSpec((1, Tp, Sp), lambda h, b, *_: (h, 0, 0),
+            pl.BlockSpec((1, q_tile, Sp), lambda h, qi, b, *_: (h, qi, 0),
                          memory_space=pltpu.VMEM),  # bias (fp32: the bwd
             # recompute must match the fwd logits bit-for-bit)
-            pl.BlockSpec((1, Tp, 1), bh_map, memory_space=pltpu.VMEM),  # gate
+            pl.BlockSpec((1, q_tile, 1), bh_q_map, memory_space=pltpu.VMEM),
         ]
         args += [biasp, gatep]
     in_specs += [
-        pl.BlockSpec((1, 1, Sp), lambda h, b, *_: (b, 0, 0),
+        pl.BlockSpec((1, 1, Sp), lambda h, qi, b, *_: (b, 0, 0),
                      memory_space=pltpu.VMEM),  # addmask
-        pl.BlockSpec((1, Tp, 1), bh_map, memory_space=pltpu.VMEM),  # lse
-        pl.BlockSpec((1, Tp, 1), bh_map, memory_space=pltpu.VMEM),  # delta
-        pl.BlockSpec((1, Tp, hd), bh_map, memory_space=pltpu.VMEM),  # dO
+        pl.BlockSpec((1, q_tile, 1), bh_q_map, memory_space=pltpu.VMEM),  # lse
+        pl.BlockSpec((1, q_tile, 1), bh_q_map, memory_space=pltpu.VMEM),  # dl
+        pl.BlockSpec((1, q_tile, hd), bh_q_map, memory_space=pltpu.VMEM),  # dO
     ]
     args += [addmask, lse, delta, do]
 
     out_specs = [
-        pl.BlockSpec((1, Tp, hd), bh_map, memory_space=pltpu.VMEM),  # dq
-        pl.BlockSpec((1, Sp, hd), bh_map, memory_space=pltpu.VMEM),  # dk
-        pl.BlockSpec((1, Sp, hd), bh_map, memory_space=pltpu.VMEM),  # dv
+        pl.BlockSpec((1, q_tile, hd), bh_q_map, memory_space=pltpu.VMEM),  # dq
     ]
-    out_shape = [
-        jax.ShapeDtypeStruct((BH, Tp, hd), qh.dtype),
-        jax.ShapeDtypeStruct((BH, Sp, hd), kh.dtype),
-        jax.ShapeDtypeStruct((BH, Sp, hd), vh.dtype),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((BH, Tp, hd), qh.dtype)]
     if has_bias:
         out_specs += [
-            pl.BlockSpec((1, Tp, 1), bh_map, memory_space=pltpu.VMEM),  # dgate
-            pl.BlockSpec((1, Tp, Sp), lambda h, b, *_: (h, 0, 0),
+            pl.BlockSpec((1, q_tile, 1), bh_q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, Sp), lambda h, qi, b, *_: (h, qi, 0),
                          memory_space=pltpu.VMEM),  # dbias (accumulated)
         ]
         out_shape += [
@@ -315,35 +377,93 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
             jax.ShapeDtypeStruct((H, Tp, Sp), jnp.float32),
         ]
 
-    kernel = functools.partial(
-        _bwd_kernel if has_bias else _bwd_kernel_nobias_adapter,
-        scale=scale, rate=rate, q_tile=q_tile, H=H, has_bias=has_bias,
-    )
-    outs = pl.pallas_call(
-        kernel,
+    dq_outs = pl.pallas_call(
+        functools.partial(
+            _dq_kernel if has_bias else _dq_kernel_nobias,
+            scale=scale, rate=rate, H=H, has_bias=has_bias,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(H, Tp // q_tile, B),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((Sp, hd), jnp.float32),  # dk accumulator
-                pltpu.VMEM((Sp, hd), jnp.float32),  # dv accumulator
-            ],
         ),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=10 * BH * Tp * Sp * hd,
+            flops=6 * BH * Tp * Sp * hd,
             bytes_accessed=(qh.size + kh.size + vh.size + do.size) * 2,
             transcendentals=BH * Tp * Sp,
         ),
         interpret=interpret,
     )(seed, *args)
     if has_bias:
-        dq, dk, dv, dgate, dbias = outs
-        return dq, dk, dv, dbias, dgate
-    dq, dk, dv = outs
-    return dq, dk, dv, None, None
+        dq, dgate, dbias = dq_outs
+    else:
+        (dq,), dgate, dbias = dq_outs, None, None
+
+    # ---- dk/dv kernel: grid (B*H, KT), full q rows per program.
+    def kt_map(bh, ki, *_):
+        return (bh, ki, 0)
+
+    def full_map(bh, ki, *_):
+        return (bh, 0, 0)
+
+    in_specs2 = [
+        pl.BlockSpec((1, Tp, hd), full_map, memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((1, k_tile, hd), kt_map, memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, k_tile, hd), kt_map, memory_space=pltpu.VMEM),  # v
+    ]
+    args2 = [qh, kh, vh]
+    if has_bias:
+        in_specs2 += [
+            pl.BlockSpec((1, Tp, k_tile), lambda bh, ki, *_: (bh % H, 0, ki),
+                         memory_space=pltpu.VMEM),  # bias columns
+            pl.BlockSpec((1, Tp, 1), full_map, memory_space=pltpu.VMEM),
+        ]
+        args2 += [biasp, gatep]
+    in_specs2 += [
+        # full-S addmask: the kernel slices its k-tile columns; kept whole so
+        # the dropout RNG regeneration knows the padded S
+        pl.BlockSpec((1, 1, Sp), lambda bh, ki, *_: (bh // H, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Tp, 1), full_map, memory_space=pltpu.VMEM),  # lse
+        pl.BlockSpec((1, Tp, 1), full_map, memory_space=pltpu.VMEM),  # delta
+        pl.BlockSpec((1, Tp, hd), full_map, memory_space=pltpu.VMEM),  # dO
+    ]
+    args2 += [addmask, lse, delta, do]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel if has_bias else _dkv_kernel_nobias,
+            scale=scale, rate=rate, q_tile=q_tile, k_tile=k_tile,
+            H=H, has_bias=has_bias,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BH, Sp // k_tile),
+            in_specs=in_specs2,
+            out_specs=[
+                pl.BlockSpec((1, k_tile, hd), kt_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k_tile, hd), kt_map, memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((k_tile, hd), jnp.float32),  # dk accumulator
+                pltpu.VMEM((k_tile, hd), jnp.float32),  # dv accumulator
+                pltpu.VMEM((q_tile, Sp), jnp.uint32),  # dropout bit stage
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Sp, hd), kh.dtype),
+            jax.ShapeDtypeStruct((BH, Sp, hd), vh.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * BH * Tp * Sp * hd,
+            bytes_accessed=(qh.size + kh.size + vh.size + do.size) * 2,
+            transcendentals=BH * Tp * Sp,
+        ),
+        interpret=interpret,
+    )(seed, *args2)
+    return dq, dk, dv, dbias, dgate
 
 
 # ---------------------------------------------------------------------------
