@@ -337,13 +337,20 @@ def test_pretrain_iterator_end_to_end(tmp_path):
     batches = list(it.epoch_batches(1))
     assert batches, "no batches"
     total = 0
+    shapes = set()
     for b in batches:
         B, T = b["source"].shape
-        total += B
+        shapes.add((B, T))
+        total += int((b["lengths"] > 0).sum())  # zero rows = static-shape pad
         assert b["targets"].shape[0] == B and b["targets"].ndim == 3
         assert (b["lengths"] <= T).all()
         assert b["target_valid"].shape == b["targets"].shape
+        # fixed shapes: B is a pure function of the bucket length
+        assert B == it.fixed_bsz(T)
+        # padded rows contribute no loss weight
+        assert (b["target_valid"][b["lengths"] == 0] == 0).all()
     assert total == 6
+    assert len(shapes) <= cfg.num_buckets
     # determinism
     b2 = list(it.epoch_batches(1))
     assert np.array_equal(batches[0]["source"], b2[0]["source"])
@@ -387,8 +394,11 @@ def test_finetune_iterator(tmp_path):
     it = FinetuneIterator(man, cfg, texts, d, seed=1)
     b = next(iter(it.epoch_batches(1)))
     assert "labels" in b and "label_lengths" in b
-    assert (b["label_lengths"] == 3).all()
-    assert (b["labels"][:, :3] != d.pad()).all()
+    valid = b["lengths"] > 0
+    assert (b["label_lengths"][valid] == 3).all()
+    assert (b["labels"][valid][:, :3] != d.pad()).all()
+    # zero-padded rows carry empty labels
+    assert (b["label_lengths"][~valid] == 0).all()
 
 
 def test_native_packer_matches_python():

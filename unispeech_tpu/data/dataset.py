@@ -26,6 +26,7 @@ from unispeech_tpu.data.dictionary import Dictionary
 from unispeech_tpu.data.labels import LabelFile, align_labels_to_frames, crop_labels
 from unispeech_tpu.data.manifest import Manifest, load_audio
 from unispeech_tpu.data.mixing import MixingConfig, NoiseStore, mix_batch_host
+from unispeech_tpu.data.prefetch import parallel_map_io, prefetch
 
 
 @dataclass
@@ -44,6 +45,15 @@ class DataConfig:
     random_crop: bool = True
     shuffle: bool = True
     required_batch_size_multiple: int = 8
+    # host input-pipeline parallelism (reference DataLoader workers)
+    num_workers: int = 8  # intra-batch audio-read thread pool
+    prefetch_depth: int = 4  # batches prepared ahead of the train loop
+    # fully static shapes: every batch of bucket length Tb has exactly
+    # fixed_bsz(Tb) rows (short final batches zero-row padded, lengths=0), so
+    # the train step compiles at most num_buckets programs. The reference's
+    # TPU path approximated this with set_bucket_info + precomputed masks
+    # (raw_audio_dataset.py:297); XLA demands it outright.
+    fixed_shapes: bool = True
 
 
 class PretrainIterator:
@@ -66,6 +76,8 @@ class PretrainIterator:
         seed: int = 1,
         num_shards: int = 1,
         shard_id: int = 0,
+        lang_groups: Optional[Sequence[np.ndarray]] = None,
+        multilang_alpha: float = 1.0,
     ):
         self.manifest = manifest
         self.cfg = cfg
@@ -82,6 +94,20 @@ class PretrainIterator:
         sizes = np.minimum(manifest.sizes, cfg.max_sample_size)
         self._keep = np.flatnonzero(manifest.sizes >= cfg.min_sample_size)
         self._sizes = sizes
+        # multilingual temperature resampling (audio_pretraining.py:211-219):
+        # per-epoch per-language row multisets drawn in _epoch_rows
+        self._lang_groups = None
+        self._lang_ratios = None
+        if lang_groups is not None:
+            from unispeech_tpu.data.multilingual import multilang_size_ratios
+
+            keep_set = set(self._keep.tolist())
+            self._lang_groups = [
+                np.asarray([r for r in g if r in keep_set], dtype=np.int64)
+                for g in lang_groups
+            ]
+            lengths = np.asarray([max(len(g), 1) for g in self._lang_groups])
+            self._lang_ratios = multilang_size_ratios(lengths, multilang_alpha)
         self._buckets = length_buckets(
             int(sizes[self._keep].max()) if len(self._keep) else cfg.max_sample_size,
             min_size=min(cfg.min_sample_size, int(sizes[self._keep].min()) if len(self._keep) else cfg.min_sample_size),
@@ -98,18 +124,60 @@ class PretrainIterator:
         self.batch_offset = d["batch_offset"]
 
     # -- epoch plan --------------------------------------------------------
+    def _epoch_rows(self, epoch: int) -> np.ndarray:
+        """Row pool for one epoch: all kept rows, or the per-language
+        temperature-resampled multiset."""
+        if self._lang_groups is None:
+            return self._keep
+        from unispeech_tpu.data.multilingual import resampled_rows
+
+        parts = [
+            resampled_rows(g, float(r), self.seed, epoch, li)
+            for li, (g, r) in enumerate(zip(self._lang_groups, self._lang_ratios))
+        ]
+        return np.concatenate(parts) if parts else self._keep
+
+    def fixed_bsz(self, bucket_len: int) -> int:
+        """Rows per batch at bucket length Tb — a pure function of the
+        bucket, so (B, Tb) is static per bucket."""
+        cfg = self.cfg
+        nb = max(int(cfg.max_tokens // bucket_len), 1) if cfg.max_tokens else 1
+        m = cfg.required_batch_size_multiple
+        if m > 1 and nb >= m:
+            nb = nb // m * m
+        if cfg.max_sentences:
+            nb = min(nb, cfg.max_sentences)
+        return max(nb, 1)
+
     def _plan(self, epoch: int) -> List[np.ndarray]:
+        pool = self._epoch_rows(epoch)
         order = ordered_indices(
-            self._sizes[self._keep], self.seed, epoch, shuffle=self.cfg.shuffle
+            self._sizes[pool], self.seed, epoch, shuffle=self.cfg.shuffle
         )
-        idx = self._keep[order]
-        batches = batch_by_size(
-            idx,
-            self._sizes[idx],
-            max_tokens=self.cfg.max_tokens,
-            max_sentences=self.cfg.max_sentences,
-            bsz_mult=self.cfg.required_batch_size_multiple,
-        )
+        idx = pool[order]
+        if self.cfg.fixed_shapes:
+            # exact-size batches per bucket; idx is length-sorted so rows
+            # arrive bucket-by-bucket and stay grouped
+            bl = bucket_for(self._sizes[idx], self._buckets)
+            batches = []
+            buf: List[int] = []
+            cur = -1
+            for row, b in zip(idx, bl):
+                if buf and (b != cur or len(buf) == self.fixed_bsz(cur)):
+                    batches.append(np.asarray(buf))
+                    buf = []
+                cur = int(b)
+                buf.append(int(row))
+            if buf:
+                batches.append(np.asarray(buf))
+        else:
+            batches = batch_by_size(
+                idx,
+                self._sizes[idx],
+                max_tokens=self.cfg.max_tokens,
+                max_sentences=self.cfg.max_sentences,
+                bsz_mult=self.cfg.required_batch_size_multiple,
+            )
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, 7919])
         )
@@ -136,10 +204,16 @@ class PretrainIterator:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, bi, 104729])
         )
+        # file reads fan out over the IO thread pool; crop RNG draws stay in
+        # row order below so the (seed, epoch, batch) stream is unchanged
+        wavs = parallel_map_io(
+            lambda i: load_audio(self.manifest.abspath(int(i)), cfg.sample_rate),
+            list(idx),
+            workers=cfg.num_workers,
+        )
         crops: List[np.ndarray] = []
         starts: List[int] = []
-        for i in idx:
-            wav = load_audio(self.manifest.abspath(int(i)), cfg.sample_rate)
+        for wav in wavs:
             if cfg.normalize:
                 wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-5)
             n = len(wav)
@@ -184,7 +258,27 @@ class PretrainIterator:
             # padding mask; -1 targets are additionally excluded via weights
             batch["targets"] = np.maximum(targets, 0)
             batch["target_valid"] = (targets >= 0).astype(np.float32)
+        if self.cfg.fixed_shapes:
+            batch = _pad_rows(batch, self.fixed_bsz(Tb))
         return batch
+
+
+def _pad_rows(batch: Dict[str, np.ndarray], B_target: int) -> Dict[str, np.ndarray]:
+    """Zero-row pad every array in the batch to B_target rows.
+
+    Padded rows carry lengths 0 / weights 0, so losses and the mask sampler
+    (which never masks past `lengths`) give them zero contribution.
+    """
+    B = batch["source"].shape[0]
+    if B >= B_target:
+        return batch
+    pad = B_target - B
+    out: Dict[str, np.ndarray] = {}
+    for k, v in batch.items():
+        out[k] = np.concatenate(
+            [v, np.zeros((pad,) + v.shape[1:], dtype=v.dtype)], axis=0
+        )
+    return out
 
 
 class FinetuneIterator(PretrainIterator):
@@ -208,16 +302,26 @@ class FinetuneIterator(PretrainIterator):
         assert len(transcripts) == len(manifest)
         self.dictionary = dictionary
         self.enc = [dictionary.encode_line(t) for t in transcripts]
+        # static label length: one S for the whole dataset (x8 aligned) so
+        # (B, Tb, S) varies only with the audio bucket
+        self._S_fixed = int(
+            np.ceil(max((len(e) for e in self.enc), default=1) / 8) * 8
+        ) or 8
 
     def _collate(self, idx, epoch, bi):
         batch = super()._collate(idx, epoch, bi)
         labs = [self.enc[int(i)] for i in idx]
-        S = max(max(len(l) for l in labs), 1)
-        S = int(np.ceil(S / 8) * 8)  # pad label length to x8 for bucketing
-        B = len(labs)
+        if self.cfg.fixed_shapes:
+            S = self._S_fixed
+        else:
+            S = max(max(len(l) for l in labs), 1)
+            S = int(np.ceil(S / 8) * 8)  # pad label length to x8 for bucketing
+        B = batch["source"].shape[0]  # includes zero-padded rows
         labels = np.full((B, S), self.dictionary.pad(), dtype=np.int32)
+        lab_len = np.zeros((B,), dtype=np.int32)
         for r, l in enumerate(labs):
             labels[r, : len(l)] = l
+            lab_len[r] = len(l)
         batch["labels"] = labels
-        batch["label_lengths"] = np.asarray([len(l) for l in labs], dtype=np.int32)
+        batch["label_lengths"] = lab_len
         return batch

@@ -178,18 +178,34 @@ def cmd_pretrain_wav2vec2(args) -> None:
         replace_prob=args.replace_prob,
     )
     model = Wav2Vec2PretrainModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-    man = Manifest.load(args.manifest)
+    # multilingual: comma-separated per-language manifests enable temperature
+    # resampling (reference audio_pretraining.py:270-308)
+    man_paths = args.manifest.split(",")
+    lang_groups = None
+    if len(man_paths) > 1:
+        from unispeech_tpu.data.multilingual import concat_manifests
+
+        man, lang_groups = concat_manifests(
+            [Manifest.load(p) for p in man_paths]
+        )
+    else:
+        man = Manifest.load(args.manifest)
+    ml_kw = dict(lang_groups=lang_groups, multilang_alpha=args.multilang_alpha)
     dc = _data_cfg(args)
     if unispeech:
-        texts = open(args.transcripts).read().splitlines()
+        texts = []
+        for p in args.transcripts.split(","):
+            texts.extend(open(p).read().splitlines())
         data = FinetuneIterator(
             man, dc, texts, d, seed=args.seed,
             num_shards=jax.process_count(), shard_id=jax.process_index(),
+            **ml_kw,
         )
     else:
         data = PretrainIterator(
             man, dc, seed=args.seed,
             num_shards=jax.process_count(), shard_id=jax.process_index(),
+            **ml_kw,
         )
     loss_fn = make_wav2vec2_loss_fn(model, mtlalpha=args.mtlalpha)
     tx = make_optimizer(
@@ -298,7 +314,12 @@ def main(argv=None) -> None:
                     help=">0 enables UniSpeech CTC multitask")
     pw.add_argument("--replace-prob", type=float, default=0.5)
     pw.add_argument("--dict", default=None, help="phone dict for UniSpeech CTC")
-    pw.add_argument("--transcripts", default=None)
+    pw.add_argument("--transcripts", default=None,
+                    help="comma-separated per-language transcript files when "
+                         "--manifest is comma-separated")
+    pw.add_argument("--multilang-alpha", type=float, default=1.0,
+                    help="temperature resampling alpha over comma-separated "
+                         "per-language manifests (audio_pretraining.py:211)")
     pw.set_defaults(fn=cmd_pretrain_wav2vec2)
 
     fc = sub.add_parser("finetune-ctc")

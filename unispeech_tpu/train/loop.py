@@ -47,6 +47,12 @@ class LoopConfig:
     tensorboard_dir: Optional[str] = None
     # gradient accumulation (reference update_freq, trainer.py:689-705)
     accum_steps: int = 1
+    # host input pipeline: batches collated ahead of the loop on a background
+    # thread (reference DataLoader workers + buffered iterators); 0 disables
+    prefetch_depth: int = 4
+    # NaN/Inf localization cadence: check the logged loss every log interval
+    # and dump offending param/metric paths (NanDetector analog)
+    detect_nonfinite: bool = True
 
 
 def run_training(
@@ -91,6 +97,10 @@ def run_training(
     step_fn = make_train_step(loss_fn, tx, accum_steps=cfg.accum_steps)
     if cfg.accum_steps > 1:
         train_batches = group_microbatches(train_batches, cfg.accum_steps)
+    if cfg.prefetch_depth > 0:
+        from unispeech_tpu.data.prefetch import prefetch
+
+        train_batches = prefetch(train_batches, depth=cfg.prefetch_depth)
     eval_fn = None
     if eval_loss_fn is not None:
         def _eval(state, batch, rng):
@@ -102,6 +112,9 @@ def run_training(
     logger = ProgressLogger("train", cfg.tensorboard_dir)
     vlogger = ProgressLogger("valid", cfg.tensorboard_dir)
     timer = StopwatchMeter()
+    from unispeech_tpu.utils.debug import CompileWatchdog, nonfinite_paths
+
+    watchdog = CompileWatchdog(warn_after=3)
 
     step_rng = jax.random.fold_in(rng, 0xBEEF)
     num_updates = int(start_step)
@@ -121,6 +134,18 @@ def run_training(
             stats["step_time_avg_s"] = timer.avg
             logger.log(num_updates, stats)
             agg.reset()
+            watchdog.track("train_step", step_fn)
+            if cfg.detect_nonfinite and not np.isfinite(
+                stats.get("loss_avg", 0.0)
+            ):
+                # NanDetector analog (nan_detector.py:14-60): localize which
+                # parameters went bad before dying
+                bad = nonfinite_paths(jax.device_get(state.params))
+                detail = "; ".join(f"{p}:{k}" for p, k in bad) or "params finite"
+                raise FloatingPointError(
+                    f"non-finite training loss at update {num_updates} "
+                    f"({stats.get('loss_avg')}); {detail}"
+                )
 
         if (
             cfg.validate_interval_updates
@@ -144,6 +169,8 @@ def run_training(
                 metrics=metrics_for_best,
             )
 
+    if hasattr(train_batches, "close"):
+        train_batches.close()
     ckpt.save(
         num_updates,
         state,
