@@ -146,3 +146,31 @@ def make_ctc_finetune_loss_fn(model: CtcFinetuneModel):
         return loss, sample_size, metrics
 
     return loss_fn
+
+
+def make_seq2seq_loss_fn(model, label_smoothing: float = 0.1):
+    """Seq2seq ASR fine-tuning objective (reference trains
+    Wav2Vec2Seq2SeqModel with label_smoothed_cross_entropy).
+
+    batch: {"source" (B,n), "lengths" (B,), "prev_tokens" (B,S) bos-shifted,
+            "targets" (B,S) eos-terminated, "target_mask" (B,S) {0,1}}.
+    """
+    from unispeech_tpu.models.seq2seq import cross_entropy_loss
+
+    def loss_fn(params, batch, rng, step):
+        out = model.apply(
+            {"params": params},
+            batch["source"],
+            batch["prev_tokens"],
+            batch.get("lengths"),
+            deterministic=False,
+            step=step,
+            rngs=split_rngs(rng),
+        )
+        loss, ntokens, metrics = cross_entropy_loss(
+            out.logits, batch["targets"], batch["target_mask"], label_smoothing
+        )
+        metrics["nsentences"] = jnp.float32(batch["source"].shape[0])
+        return loss, ntokens.astype(jnp.float32), metrics
+
+    return loss_fn
