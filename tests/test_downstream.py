@@ -89,3 +89,132 @@ def test_ahc_and_rttm():
     noisy[3, 0] = 0  # single-frame dropout
     sm = median_filter(noisy, width=3)
     assert sm[3, 0] == 1
+
+
+def test_ecapa_batchnorm_running_stats():
+    """Real BatchNorm semantics (reference BatchNorm1d, ecapa_tdnn.py:24):
+    train mode mutates batch_stats; eval uses the running averages."""
+    cfg = EcapaConfig(channels=64, emb_dim=32, scale=4, num_layer_feats=3)
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (3, 2, 50, 16))
+    train_model = EcapaTdnn(cfg, train=True)
+    variables = train_model.init(rng, feats)
+    assert "batch_stats" in variables, "BatchNorm must track running stats"
+    _, updated = train_model.apply(variables, feats, mutable=["batch_stats"])
+    stats0 = jax.tree_util.tree_leaves(variables["batch_stats"])
+    stats1 = jax.tree_util.tree_leaves(updated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(stats0, stats1)
+    ), "train mode must update running stats"
+    # eval mode: no mutation needed, deterministic
+    eval_model = EcapaTdnn(cfg, train=False)
+    e1 = eval_model.apply(variables, feats)
+    e2 = eval_model.apply(variables, feats)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_chunked_diarization_stitches_speakers():
+    from unispeech_tpu.downstream.diarization import chunked_diarization
+
+    rng = np.random.default_rng(0)
+    E = 8
+    spk_a, spk_b = rng.standard_normal(E), rng.standard_normal(E)
+
+    def infer_fn(chunk):
+        # chunk features: col0 marks speaker A activity, col1 speaker B
+        T = len(chunk)
+        logits = np.full((T, 2), -10.0, np.float32)
+        logits[chunk[:, 0] > 0, 0] = 10.0
+        logits[chunk[:, 1] > 0, 1] = 10.0
+        return logits, np.stack([spk_a, spk_b])
+
+    feats = np.zeros((200, 4), np.float32)
+    feats[:80, 0] = 1.0  # A talks frames 0-79
+    feats[120:, 1] = 1.0  # B talks frames 120-199
+    act = chunked_diarization(
+        infer_fn, feats, chunk_size=50, threshold=0.5, median_width=1
+    )
+    # the same speaker across chunks must collapse to one global id
+    assert act.shape[1] == 2
+    on_a = act[:80].sum(axis=0).argmax()
+    on_b = act[120:].sum(axis=0).argmax()
+    assert on_a != on_b
+    assert act[:80, on_a].mean() > 0.9
+    assert act[120:, on_b].mean() > 0.9
+
+
+def test_der_identical_and_disjoint():
+    from unispeech_tpu.downstream.diarization import compute_der
+
+    ref = "\n".join([
+        "SPEAKER u 1 0.000 2.000 <NA> <NA> alice <NA> <NA>",
+        "SPEAKER u 1 3.000 1.000 <NA> <NA> bob <NA> <NA>",
+    ])
+    same = compute_der(ref, ref.replace("alice", "x").replace("bob", "y"))
+    assert same["der"] < 1e-6  # renamed speakers map optimally
+    miss_all = compute_der(ref, "")
+    assert abs(miss_all["der"] - 1.0) < 1e-6
+    assert abs(miss_all["miss"] - 1.0) < 1e-6
+    # half-overlap: one of two seconds of alice hypothesized
+    hyp = "SPEAKER u 1 0.000 1.000 <NA> <NA> spk0 <NA> <NA>"
+    half = compute_der(ref, hyp)
+    assert half["false_alarm"] < 1e-6
+    assert abs(half["miss"] - 2.0 / 3.0) < 0.02
+
+
+def test_verification_cli_smoke(tmp_path):
+    import json as jsonlib
+    import wave
+
+    from unispeech_tpu.downstream.verification import main as ver_main
+    from unispeech_tpu.train.checkpoint import save_params_npz
+    from unispeech_tpu.configs import EncoderConfig
+    from unispeech_tpu.models.wavlm import WavLM, WavLMModelConfig
+
+    tiny = dict(
+        encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, conv_layers=[[32, 10, 5], [32, 3, 2]],
+        conv_pos=16, conv_pos_groups=4,
+        relative_position_embedding=False, gru_rel_pos=False,
+    )
+    enc = EncoderConfig(**{**tiny, "conv_layers": ((32, 10, 5), (32, 3, 2))})
+    model = WavLM(WavLMModelConfig(encoder=enc))
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng}, jnp.zeros((1, 4000)))
+    bb = tmp_path / "bb.npz"
+    save_params_npz(str(bb), variables["params"])
+
+    rngnp = np.random.default_rng(0)
+    for i in range(3):
+        pcm = np.clip(
+            rngnp.standard_normal(4000) * 0.1 * 32767, -32768, 32767
+        ).astype(np.int16)
+        with wave.open(str(tmp_path / f"s{i}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+    trials = tmp_path / "trials.txt"
+    trials.write_text(
+        "1 s0.wav s0.wav\n0 s0.wav s1.wav\n1 s1.wav s1.wav\n0 s1.wav s2.wav\n"
+    )
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ver_main([
+            "--trials", str(trials),
+            "--wav-root", str(tmp_path),
+            "--backbone", str(bb),
+            "--encoder-json", jsonlib.dumps(tiny),
+            "--scores-path", str(tmp_path / "scores.txt"),
+        ])
+    report = jsonlib.loads(buf.getvalue().strip())
+    assert report["trials"] == 4
+    assert 0.0 <= report["eer"] <= 100.0
+    # same-utterance trials score 1.0
+    lines = (tmp_path / "scores.txt").read_text().splitlines()
+    assert float(lines[0].split()[0]) > 0.999

@@ -208,3 +208,142 @@ def to_rttm(
                 )
                 on = None
     return "\n".join(lines)
+
+
+def chunked_diarization(
+    infer_fn,  # (T_c, D) feats -> (logits (T_c, S), spk_vectors (S, E))
+    feats: np.ndarray,  # (T, D) full-recording SSL features
+    chunk_size: int = 2000,
+    threshold: float = 0.6,
+    activity_floor: float = 0.05,
+    median_width: int = 11,
+) -> np.ndarray:
+    """Full-recording diarization by chunking (diarization.py:18-110).
+
+    Per chunk: local speaker activities + speaker vectors; local speakers
+    with enough activity contribute a vector. AHC over all chunk-speaker
+    vectors with same-chunk cannot-links assigns global speaker ids; local
+    activities are stitched into a (T, n_global) activity matrix, then
+    median-filtered. Returns the binary global activity matrix.
+    """
+    T = len(feats)
+    chunks = [feats[i : i + chunk_size] for i in range(0, T, chunk_size)]
+    vecs: List[np.ndarray] = []
+    cannot: List[Tuple[int, int]] = []
+    chunk_acts: List[np.ndarray] = []
+    chunk_active: List[List[int]] = []
+    for ch in chunks:
+        logits, sv = infer_fn(ch)
+        logits = np.asarray(logits, np.float32)
+        sv = np.asarray(sv, np.float32)
+        act = (1.0 / (1.0 + np.exp(-logits))) > 0.5  # (Tc, S)
+        active = [
+            s for s in range(act.shape[1])
+            if act[:, s].mean() > activity_floor
+        ]
+        ids_here = []
+        for s in active:
+            ids_here.append(len(vecs))
+            vecs.append(sv[s])
+        for a in range(len(ids_here)):
+            for b in range(a + 1, len(ids_here)):
+                cannot.append((ids_here[a], ids_here[b]))
+        chunk_acts.append(act)
+        chunk_active.append(active)
+
+    if not vecs:
+        return np.zeros((T, 1), np.float32)
+    ids = ahc_cluster(np.stack(vecs), threshold, cannot)
+    n_global = int(ids.max()) + 1
+    out = np.zeros((T, n_global), np.float32)
+    pos, k = 0, 0
+    for act, active in zip(chunk_acts, chunk_active):
+        for s in active:
+            out[pos : pos + len(act), ids[k]] = np.maximum(
+                out[pos : pos + len(act), ids[k]], act[:, s]
+            )
+            k += 1
+        pos += len(act)
+    return (median_filter(out, median_width) > 0.5).astype(np.float32)
+
+
+# ---------------------------------------------------------------- DER
+def parse_rttm(text: str) -> List[Tuple[str, float, float, str]]:
+    """[(uri, start, dur, speaker)] from RTTM lines."""
+    out = []
+    for line in text.splitlines():
+        parts = line.split()
+        if len(parts) < 8 or parts[0] != "SPEAKER":
+            continue
+        out.append((parts[1], float(parts[3]), float(parts[4]), parts[7]))
+    return out
+
+
+def _segments_to_activity(
+    segs: List[Tuple[str, float, float, str]], frame_shift: float, T: int
+) -> Tuple[np.ndarray, List[str]]:
+    spks = sorted({s for _, _, _, s in segs})
+    act = np.zeros((T, len(spks)), bool)
+    for _, start, dur, spk in segs:
+        a = int(round(start / frame_shift))
+        b = int(round((start + dur) / frame_shift))
+        act[a : min(b, T), spks.index(spk)] = True
+    return act, spks
+
+
+def compute_der(
+    ref_rttm: str,
+    hyp_rttm: str,
+    frame_shift: float = 0.02,
+) -> dict:
+    """Frame-based diarization error rate with optimal speaker mapping
+    (md-eval semantics without collar: DER = (miss + fa + confusion) /
+    ref speech time). The reference scores with md-eval/dscore; this is the
+    same frame decomposition in numpy.
+    """
+    ref_segs = parse_rttm(ref_rttm)
+    hyp_segs = parse_rttm(hyp_rttm)
+    end = 0.0
+    for _, s, d, _ in ref_segs + hyp_segs:
+        end = max(end, s + d)
+    T = int(np.ceil(end / frame_shift)) + 1
+    ref, ref_spk = _segments_to_activity(ref_segs, frame_shift, T)
+    hyp, hyp_spk = _segments_to_activity(hyp_segs, frame_shift, T)
+
+    # optimal ref->hyp speaker mapping by overlap (Hungarian via brute force
+    # for small casts, greedy fallback beyond 8)
+    overlap = ref.astype(np.int64).T @ hyp.astype(np.int64)  # (R, H)
+    R, H = overlap.shape
+    if 0 < R <= 8 and 0 < H <= 8:
+        best_map, best_score = {}, -1
+        for perm in itertools.permutations(range(H), min(R, H)):
+            m = dict(zip(range(min(R, H)), perm))
+            score = sum(overlap[r, h] for r, h in m.items())
+            if score > best_score:
+                best_score, best_map = score, m
+    else:
+        best_map = {}
+        used = set()
+        for r in np.argsort(-overlap.max(axis=1) if H else []):
+            order = np.argsort(-overlap[r])
+            for h in order:
+                if h not in used:
+                    best_map[int(r)] = int(h)
+                    used.add(int(h))
+                    break
+
+    mapped_match = np.zeros(T)
+    for r, h in best_map.items():
+        mapped_match += ref[:, r] & hyp[:, h]
+    n_ref = ref.sum(axis=1)
+    n_hyp = hyp.sum(axis=1)
+    miss = np.maximum(n_ref - n_hyp, 0).sum()
+    fa = np.maximum(n_hyp - n_ref, 0).sum()
+    conf = (np.minimum(n_ref, n_hyp) - mapped_match).sum()
+    speech = max(n_ref.sum(), 1)
+    return {
+        "der": float((miss + fa + conf) / speech),
+        "miss": float(miss / speech),
+        "false_alarm": float(fa / speech),
+        "confusion": float(conf / speech),
+    }

@@ -33,12 +33,19 @@ class WeightedLayerSum(nn.Module):
 
 
 class TdnnBn(nn.Module):
-    """Conv1d + ReLU + BatchNorm (inference-mode affine norm)."""
+    """Conv1d + ReLU + BatchNorm1d (ecapa_tdnn.py:24).
+
+    Real running-stats BatchNorm so reference checkpoints (mean/var/affine)
+    import 1:1: stats over (batch, time) per channel, torch momentum 0.1 ==
+    flax momentum 0.9. Training mutates the "batch_stats" collection;
+    inference uses the running averages.
+    """
 
     features: int
     kernel: int = 1
     dilation: int = 1
     dtype: Dtype = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -51,10 +58,13 @@ class TdnnBn(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         x = nn.relu(x)
-        # train-mode batch stats are unnecessary for a frozen-feature eval
-        # head; LayerNorm is the TPU-friendly stand-in with the same affine
-        # capacity (reference uses BatchNorm1d, ecapa_tdnn.py:24).
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.BatchNorm(
+            use_running_average=not self.train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
 
 
 class SEBlock(nn.Module):
@@ -110,13 +120,14 @@ class SERes2NetBlock(nn.Module):
     dilation: int = 1
     scale: int = 8
     dtype: Dtype = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         res = x
-        h = TdnnBn(self.features, 1, 1, dtype=self.dtype)(x)
+        h = TdnnBn(self.features, 1, 1, dtype=self.dtype, train=self.train)(x)
         h = Res2NetBlock(self.kernel, self.dilation, self.scale, dtype=self.dtype)(h)
-        h = TdnnBn(self.features, 1, 1, dtype=self.dtype)(h)
+        h = TdnnBn(self.features, 1, 1, dtype=self.dtype, train=self.train)(h)
         h = SEBlock(dtype=self.dtype)(h)
         if res.shape[-1] != self.features:
             res = nn.Conv(self.features, (1,), dtype=self.dtype,
@@ -158,6 +169,7 @@ class EcapaTdnn(nn.Module):
 
     cfg: EcapaConfig = EcapaConfig()
     dtype: Dtype = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(
@@ -166,14 +178,15 @@ class EcapaTdnn(nn.Module):
         padding_mask: Optional[jax.Array] = None,  # (B, T)
     ) -> jax.Array:
         cfg = self.cfg
+        tr = self.train
         x = WeightedLayerSum(name="featurizer")(layer_feats)
         if padding_mask is not None:
             x = jnp.where(padding_mask[..., None], 0.0, x)
         C = cfg.channels
-        h1 = TdnnBn(C, kernel=5, dtype=self.dtype, name="layer1")(x)
-        h2 = SERes2NetBlock(C, 3, 2, cfg.scale, dtype=self.dtype, name="layer2")(h1)
-        h3 = SERes2NetBlock(C, 3, 3, cfg.scale, dtype=self.dtype, name="layer3")(h2)
-        h4 = SERes2NetBlock(C, 3, 4, cfg.scale, dtype=self.dtype, name="layer4")(h3)
+        h1 = TdnnBn(C, kernel=5, dtype=self.dtype, train=tr, name="layer1")(x)
+        h2 = SERes2NetBlock(C, 3, 2, cfg.scale, dtype=self.dtype, train=tr, name="layer2")(h1)
+        h3 = SERes2NetBlock(C, 3, 3, cfg.scale, dtype=self.dtype, train=tr, name="layer3")(h2)
+        h4 = SERes2NetBlock(C, 3, 4, cfg.scale, dtype=self.dtype, train=tr, name="layer4")(h3)
         cat = jnp.concatenate([h2, h3, h4], axis=-1)
         h = nn.relu(nn.Conv(C * 3, (1,), dtype=self.dtype,
                             param_dtype=jnp.float32, name="mfa")(cat))
