@@ -354,3 +354,69 @@ def test_greedy_decode():
     # respects logit_lengths
     toks2, lens2 = greedy_decode(jnp.asarray(logits), jnp.array([4]))
     assert int(lens2[0]) == 1 and int(toks2[0, 0]) == 1
+
+
+def test_boundary_mask_sampler():
+    """Boundary masking (wavlm.py:360-377): whole segments flip together,
+    frames without segments never masked."""
+    import numpy as np
+    from unispeech_tpu.ops.masking import frames_to_segments, sample_boundary_mask
+
+    seg = frames_to_segments([0.0, 0.2, 0.5, 1.0], num_frames=60, frame_rate=50)
+    assert seg[0] == 0 and seg[9] == 0 and seg[10] == 1 and seg[25] == 2
+    assert (seg[50:] == -1).all()
+
+    ids = jnp.asarray(np.stack([seg, seg]))
+    mask = sample_boundary_mask(jax.random.PRNGKey(0), ids, p=0.5)
+    m = np.asarray(mask)
+    # segment-constant: within each segment the mask value is uniform
+    for row in m:
+        for s in range(3):
+            vals = row[np.asarray(seg) == s]
+            assert vals.all() or not vals.any()
+    assert not m[:, 50:].any()  # no-segment frames unmasked
+    # p sweep: p=0 none, p=1 all segment frames
+    m0 = np.asarray(sample_boundary_mask(jax.random.PRNGKey(1), ids, p=0.0))
+    m1 = np.asarray(sample_boundary_mask(jax.random.PRNGKey(1), ids, p=1.0))
+    assert not m0.any()
+    assert m1[:, :50].all() and not m1[:, 50:].any()
+
+
+def test_streaming_mask_and_encoder_hook():
+    """streaming_mask hook (wavlm.py:698,730): chunked causal attention."""
+    import numpy as np
+    from unispeech_tpu.ops.masking import make_streaming_mask
+    from unispeech_tpu.models.encoder import TransformerEncoder
+    from unispeech_tpu.configs import EncoderConfig
+
+    am = np.asarray(make_streaming_mask(8, chunk_size=4, left_chunks=0))
+    # frame 5 (chunk 1) sees only frames 4-7
+    assert (am[5, 4:8] == 0).all() and (am[5, :4] < -1e20).all()
+
+    cfg = EncoderConfig(
+        encoder_layers=2, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4, conv_layers=((16, 10, 5),),
+        conv_pos=8, conv_pos_groups=4, dropout=0.0, attention_dropout=0.0,
+        encoder_layerdrop=0.0,
+    )
+    enc = TransformerEncoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    T = 16
+    x = jax.random.normal(rng, (1, T, 32))
+    variables = enc.init({"params": rng}, x)
+    mask = jnp.asarray(make_streaming_mask(T, chunk_size=4, left_chunks=0))
+    out_m = enc.apply(variables, x, attn_mask=mask).x
+    # frame 0's receptive field under the mask: attends chunk 0 (frames 0-3),
+    # whose pos-conv halo (kernel 8, like the reference's non-causal
+    # pos_conv) reaches to frame 6 — so perturbing frames 12+ must not
+    # change frame 0...
+    x2 = x.at[:, 12:].set(7.0)
+    out_m2 = enc.apply(variables, x2, attn_mask=mask).x
+    np.testing.assert_allclose(
+        np.asarray(out_m[:, :1]), np.asarray(out_m2[:, :1]), atol=1e-5
+    )
+    # ...while without the mask even frame 0 changes (attention is global)
+    out_g = enc.apply(variables, x).x
+    out_g2 = enc.apply(variables, x2).x
+    assert not np.allclose(np.asarray(out_g[:, :1]), np.asarray(out_g2[:, :1]),
+                           atol=1e-5)

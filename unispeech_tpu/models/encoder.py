@@ -318,6 +318,7 @@ class SelfAttention(nn.Module):
         position_bias: Optional[jax.Array],  # (H, T, S) ungated shared bias
         key_padding_mask: Optional[jax.Array],  # (B, S) True = pad
         deterministic: bool = True,
+        attn_mask: Optional[jax.Array] = None,  # (T, S) additive fp32
     ) -> jax.Array:
         cfg = self.cfg
         D = cfg.encoder_embed_dim
@@ -352,7 +353,9 @@ class SelfAttention(nn.Module):
         # Pallas fused kernel: TPU hot path for training AND eval — logits,
         # gated bias, probs and dropout masks live only in VMEM tiles, in
         # both forward and backward (ops/pallas/flash_attention.py).
-        if cfg.use_flash_attention and _on_tpu():
+        # streaming/chunked masks (reference self_attn_mask hook,
+        # wavlm.py:698,730) take the XLA path — a niche eval configuration.
+        if cfg.use_flash_attention and _on_tpu() and attn_mask is None:
             from unispeech_tpu.ops.pallas.flash_attention import fused_attention
 
             seed = None
@@ -371,6 +374,9 @@ class SelfAttention(nn.Module):
                 bias = position_bias.astype(jnp.float32)[None]
                 if gate is not None:
                     bias = gate[..., None] * bias
+            if attn_mask is not None:
+                am = attn_mask.astype(jnp.float32)[None, None]
+                bias = am if bias is None else bias + am
             dropout_rng = self.make_rng("dropout") if use_dropout else None
             out = multihead_attention(
                 q,
@@ -431,6 +437,7 @@ class TransformerEncoderLayer(nn.Module):
         x: jax.Array,
         position_bias: Optional[jax.Array],
         key_padding_mask: Optional[jax.Array],
+        attn_mask: Optional[jax.Array] = None,
     ):
         cfg = self.cfg
         deterministic = self.deterministic
@@ -441,7 +448,7 @@ class TransformerEncoderLayer(nn.Module):
             else nn.Dropout(rate=rate, deterministic=False)(h)
         )
         attn = lambda h: SelfAttention(cfg, dtype=self.dtype, name="self_attn")(
-            h, position_bias, key_padding_mask, deterministic
+            h, position_bias, key_padding_mask, deterministic, attn_mask
         )
         x_in = x
 
@@ -523,6 +530,8 @@ class TransformerEncoder(nn.Module):
         deterministic: bool = True,
         collect_layer_outputs: bool = False,
         output_layer: Optional[int] = None,  # 1-based: stop after this layer
+        attn_mask: Optional[jax.Array] = None,  # (T, S) additive streaming
+        # mask (reference streaming_mask hook, wavlm.py:698,730)
     ) -> EncoderOutput:
         cfg = self.cfg
 
@@ -564,7 +573,7 @@ class TransformerEncoder(nn.Module):
                 Layer,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True, "layerdrop": True},
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=L,
             )
             x_final, ys = ScanLayers(
@@ -574,7 +583,7 @@ class TransformerEncoder(nn.Module):
                 scanned=True,
                 collect=collect,
                 name="layers",
-            )(x, position_bias, padding_mask)
+            )(x, position_bias, padding_mask, attn_mask)
             if output_layer is not None and output_layer < L:
                 # output of 1-based layer p == input to 0-based layer p
                 x = ys[output_layer]
@@ -595,7 +604,7 @@ class TransformerEncoder(nn.Module):
                     scanned=True,
                     collect=False,
                     name=f"layer_{i}",
-                )(x, position_bias, padding_mask)[0]
+                )(x, position_bias, padding_mask, attn_mask)[0]
             if collect_layer_outputs:
                 outputs.append(x)
                 layer_outputs = jnp.stack(outputs, axis=0)

@@ -56,6 +56,13 @@ class WavLM(nn.Module):
         deterministic: bool = True,
         collect_layer_outputs: bool = False,
         output_layer: Optional[int] = None,
+        attn_mask: Optional[jax.Array] = None,  # (T, S) additive streaming
+        # mask hook (reference streaming_mask, wavlm.py:698,730); build with
+        # ops.masking.make_streaming_mask
+        boundary_mask: Optional[jax.Array] = None,  # (B, T_frames) precomputed
+        # span mask overriding the sampler (reference boundary_mask,
+        # wavlm.py:360-377; segments drawn host-side or via
+        # ops.masking.sample_boundary_mask)
     ) -> WavLMOutput:
         enc_cfg = self.cfg.encoder
         embed = enc_cfg.conv_layers[-1][0]
@@ -135,7 +142,14 @@ class WavLM(nn.Module):
 
         mask_indices = None
         x = features
-        if mask and self.cfg.time_mask.mask_prob > 0:
+        if mask and boundary_mask is not None:
+            # boundary-aligned masking (wavlm.py:360-377): spans precomputed
+            # from phone/word boundaries replace the span sampler
+            mask_indices = boundary_mask.astype(bool)
+            if padding_mask is not None:
+                mask_indices = mask_indices & ~padding_mask
+            x = apply_time_mask(features, mask_indices, mask_emb)
+        elif mask and self.cfg.time_mask.mask_prob > 0:
             B, T = features.shape[:2]
             frame_lengths = None
             if padding_mask is not None:
@@ -157,6 +171,7 @@ class WavLM(nn.Module):
             deterministic=deterministic,
             collect_layer_outputs=collect_layer_outputs,
             output_layer=output_layer,
+            attn_mask=attn_mask,
         )
 
         return WavLMOutput(

@@ -127,3 +127,56 @@ def apply_channel_mask(x: jax.Array, mask: jax.Array) -> jax.Array:
     """Zero masked channels across all timesteps (WavLM.py:290-307).
     mask: (B, D) bool."""
     return jnp.where(mask[:, None, :], 0.0, x)
+
+
+def sample_boundary_mask(
+    rng: jax.Array,
+    seg_ids: jax.Array,  # (B, T) int32 segment id per frame, -1 = none
+    p: float = 0.5,
+    max_segments: int = 512,
+) -> jax.Array:
+    """Boundary-aligned span masking (reference apply_mask boundary path,
+    /root/reference/src/fairseq/models/wavlm/wavlm.py:360-377): each
+    phone/word segment is masked i.i.d. with probability p; whole segments
+    flip together.
+
+    Shape-static device formulation: draw one Bernoulli per (row, segment id)
+    and gather by the per-frame segment id. Frames with seg_id == -1 (no
+    boundary info / padding) are never masked.
+    """
+    B, T = seg_ids.shape
+    bern = jax.random.bernoulli(rng, p, (B, max_segments))
+    safe = jnp.clip(seg_ids, 0, max_segments - 1)
+    mask = jnp.take_along_axis(bern, safe, axis=1)
+    return mask & (seg_ids >= 0)
+
+
+def make_streaming_mask(
+    T: int,
+    chunk_size: int,
+    left_chunks: int = -1,
+    neg: float = -1e30,
+) -> jax.Array:
+    """(T, T) additive attention mask for chunked streaming attention
+    (the reference's streaming_mask hook, wavlm.py:698,730): query frame t
+    may attend within its chunk and up to `left_chunks` previous chunks
+    (-1 = unlimited left context)."""
+    frame_chunk = jnp.arange(T) // chunk_size
+    q = frame_chunk[:, None]
+    s = frame_chunk[None, :]
+    allowed = s <= q
+    if left_chunks >= 0:
+        allowed = allowed & (s >= q - left_chunks)
+    return jnp.where(allowed, 0.0, neg).astype(jnp.float32)
+
+
+def frames_to_segments(boundaries_s, num_frames: int, frame_rate: float):
+    """Host helper: per-utterance boundary timestamps (seconds) ->
+    (num_frames,) int32 segment ids (-1 past the last boundary)."""
+    import numpy as np
+
+    ids = np.full((num_frames,), -1, np.int32)
+    frames = [int(round(b * frame_rate)) for b in boundaries_s]
+    for si, (a, b) in enumerate(zip(frames[:-1], frames[1:])):
+        ids[max(a, 0) : min(b, num_frames)] = si
+    return ids

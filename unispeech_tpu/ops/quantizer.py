@@ -110,3 +110,97 @@ class GumbelVectorQuantizer(nn.Module):
         if produce_targets:
             result["targets"] = k.reshape(B, T, G)
         return result
+
+
+class KmeansVectorQuantizer(nn.Module):
+    """Hard VQ with straight-through gradients (vq-wav2vec style).
+
+    Reference behavior: /root/reference/src/fairseq/modules/
+    kmeans_vector_quantizer.py:11-127 — grouped 1x1-conv projection +
+    Fp32GroupNorm, nearest-codeword per group by L2 distance,
+    straight-through pass, code perplexity, and the k-means loss
+    (latent + gamma * commitment MSE).
+
+    TPU reformulation: (B, T, C) layout throughout; the distance argmin is
+    computed from the expanded ||ze - e||^2 = ||ze||^2 - 2 ze.e + ||e||^2
+    form so the dominant term is one MXU matmul instead of a broadcast
+    (num_vars, B, T, G, var_dim) difference tensor.
+    """
+
+    dim: int  # input channels
+    num_vars: int
+    groups: int
+    combine_groups: bool
+    vq_dim: int
+    gamma: float = 0.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, produce_targets: bool = False):
+        assert self.vq_dim % self.groups == 0
+        var_dim = self.vq_dim // self.groups
+        num_groups = 1 if self.combine_groups else self.groups
+        B, T, C = x.shape
+        G = self.groups
+
+        embedding = self.param(
+            "embedding",
+            lambda rng: 0.01
+            * jax.random.normal(rng, (self.num_vars, num_groups, var_dim)),
+        )
+        # grouped 1x1 conv == per-group (C/G, C/G) matmul, no bias
+        proj_w = self.param(
+            "proj_kernel",
+            nn.initializers.lecun_normal(),
+            (G, C // G, C // G),
+            jnp.float32,
+        )
+        xg = x.reshape(B, T, G, C // G)
+        ze = jnp.einsum(
+            "btgi,gio->btgo", xg.astype(self.dtype), proj_w.astype(self.dtype)
+        ).reshape(B, T, C)
+        # Fp32GroupNorm(groups, dim) over (B, C, T): per-(group) stats across
+        # (channels-in-group, time)
+        zf = ze.astype(jnp.float32).reshape(B, T, G, C // G)
+        mean = zf.mean(axis=(1, 3), keepdims=True)
+        var = zf.var(axis=(1, 3), keepdims=True)
+        gn_scale = self.param("gn_scale", nn.initializers.ones, (C,), jnp.float32)
+        gn_bias = self.param("gn_bias", nn.initializers.zeros, (C,), jnp.float32)
+        zf = ((zf - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(B, T, C)
+        ze = zf * gn_scale + gn_bias  # (B, T, C) fp32
+
+        emb = (
+            jnp.broadcast_to(embedding, (self.num_vars, G, var_dim))
+            if self.combine_groups
+            else embedding
+        ).astype(jnp.float32)
+
+        zeg = ze.reshape(B, T, G, var_dim)
+        # squared L2 distances via the matmul expansion (argmin-equivalent)
+        dots = jnp.einsum("btgd,vgd->btgv", zeg, emb)
+        e_sq = jnp.sum(emb**2, axis=-1).T  # (G, V)
+        d2 = e_sq[None, None] - 2.0 * dots  # + ||ze||^2 (constant in v)
+        idx = jnp.argmin(d2, axis=-1)  # (B, T, G)
+
+        onehot = jax.nn.one_hot(idx, self.num_vars, dtype=jnp.float32)
+        zq = jnp.einsum("btgv,vgd->btgd", onehot, emb).reshape(B, T, C)
+
+        # straight-through: forward zq, gradient flows to ze
+        out = jax.lax.stop_gradient(zq) + ze - jax.lax.stop_gradient(ze)
+
+        hard_probs = onehot.mean(axis=(0, 1))  # (G, V)
+        code_ppl = jnp.exp(
+            -jnp.sum(hard_probs * jnp.log(hard_probs + 1e-7), axis=-1)
+        ).sum()
+
+        latent = jnp.mean((zq - jax.lax.stop_gradient(ze)) ** 2)
+        commitment = jnp.mean((ze - jax.lax.stop_gradient(zq)) ** 2)
+        result = {
+            "x": out.astype(x.dtype),
+            "num_vars": self.num_vars,
+            "code_perplexity": code_ppl,
+            "kmeans_loss": latent + self.gamma * commitment,
+        }
+        if produce_targets:
+            result["targets"] = idx
+        return result
