@@ -16,10 +16,17 @@ TPU v5e chip (394 bf16 TFLOP/s peak):
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the full Pallas+scan+remat train step takes
+# minutes to compile cold; warm runs (same machine, same jax) start in seconds.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_AUDIO_SEC_PER_S = 3400.0
 
