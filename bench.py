@@ -13,25 +13,47 @@ TPU v5e chip (394 bf16 TFLOP/s peak):
   => 100% MFU ≈ 8470 audio-sec/s/chip. Anchor = 40% MFU ≈ 3400 audio-sec/s
   (a strong GPU-era implementation's typical utilization), so
   vs_baseline = value / 3400. >1.0 beats that anchor.
+
+Cold-start design (the driver runs this with NO warm caches and a hard
+timeout; round-2 died in compile): exactly ONE program is compiled on the
+TPU — the train step. Parameters are initialized by flax on the host CPU
+backend (same shapes/dtypes; attention flag switched to the XLA path there
+since Pallas doesn't lower on CPU), inputs are plain numpy, and the crop
+length is chosen so the frame count (768 = 6×128) is lane-aligned — the
+production bucket shapes do the same (data/dataset.py).
 """
 
 import json
 import os
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: the full Pallas+scan+remat train step takes
-# minutes to compile cold; warm runs (same machine, same jax) start in seconds.
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Persistent compilation cache (helps warm re-runs; cold runs are the design
+# target). Derived from this file's location, never committed (.gitignore).
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_AUDIO_SEC_PER_S = 3400.0
 
+# reference batch anchor: max_tokens 1.4M samples/GPU ≈ 87.5 audio-sec
+# (examples/hubert/scripts/pretrain.sh). 6 crops of 245,840 samples
+# (~15.4 s, exactly 768 output frames) ≈ 92 audio-sec per step.
+B = int(os.environ.get("BENCH_B", "6"))
+NSAMP = 245_840
+REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 
-def main():
+
+def build_step(b=B, nsamp=NSAMP, remat=REMAT):
+    """Construct (step_fn, state, batch, rng) for the bench workload with
+    host-side (CPU backend) parameter init — zero TPU compiles."""
+    import dataclasses
+
     from unispeech_tpu.configs import (
         HubertPretrainConfig,
         MaskConfig,
@@ -49,6 +71,7 @@ def main():
         encoder_layerdrop=0.05,
         dropout=0.1,
         attention_dropout=0.1,
+        remat_layers=remat,  # Base @ B=6 fits HBM without remat
     )
     cfg = HubertPretrainConfig(
         encoder=enc,
@@ -58,38 +81,56 @@ def main():
     )
     model = HubertPretrainModel(cfg, dtype=jnp.bfloat16)
 
-    # reference batch anchor: max_tokens 1.4M samples/GPU ≈ 87.5 audio-sec
-    # (examples/hubert/scripts/pretrain.sh); 6 x 15.6s crops ≈ 93.6 s
-    B, n = 6, 250_000
-    T = cfg.encoder.num_frames(n)
-    rng = jax.random.PRNGKey(0)
-    wav = jax.random.normal(rng, (B, n), jnp.float32)
-    targets = jax.random.randint(rng, (B, T, 1), 0, 504)
+    T = cfg.encoder.num_frames(nsamp)
+    np_rng = np.random.default_rng(0)
+    wav = jnp.asarray(np_rng.standard_normal((b, nsamp)), jnp.float32)
+    targets = jnp.asarray(np_rng.integers(0, 504, (b, T, 1)), jnp.int32)
 
-    variables = model.init(
-        {"params": rng, "mask": rng}, wav[:1, :50000], targets[:1, : cfg.encoder.num_frames(50000)],
-        mask=True, deterministic=True,
+    # ---- host-side init: zero TPU compiles. The Pallas kernel has no CPU
+    # lowering, so init (whose params are implementation-independent) runs
+    # the XLA attention path on the CPU backend.
+    cfg_init = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(enc, use_flash_attention=False)
     )
+    model_init = HubertPretrainModel(cfg_init, dtype=jnp.bfloat16)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        w_small = jnp.asarray(np_rng.standard_normal((1, 8000)), jnp.float32)
+        t_small = jnp.asarray(
+            np_rng.integers(0, 504, (1, cfg.encoder.num_frames(8000), 1)),
+            jnp.int32,
+        )
+        variables = model_init.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+            w_small, t_small, mask=True, deterministic=True,
+        )
     tx = make_optimizer(OptimConfig(lr=5e-4, warmup_steps=100, total_steps=1000))
     state = create_train_state(variables["params"], tx)
+    state = jax.device_put(state, jax.devices()[0])
     loss_fn = make_hubert_loss_fn(model, HubertCriterionConfig())
     step = make_train_step(loss_fn, tx)
     batch = {"source": wav, "targets": targets}
+    return step, state, batch, jax.random.PRNGKey(1)
 
-    rng_step = jax.random.PRNGKey(1)
-    state, m = step(state, batch, rng_step)  # compile
+
+def main():
+    step, state, batch, rng_step = build_step()
+    t0 = time.perf_counter()
+    state, m = step(state, batch, rng_step)  # the ONE compile
     # NOTE: through the axon tunnel block_until_ready returns early; a host
     # scalar fetch is the only reliable synchronization point.
-    float(m["loss"])
+    loss0 = float(m["loss_per_sample"])
+    print(f"# compile+step0 {time.perf_counter()-t0:.1f}s loss={loss0:.3f}",
+          flush=True)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, rng_step)
-    float(m["loss"])  # forces completion of the whole queue
+    float(m["loss_per_sample"])  # forces completion of the whole queue
     dt = (time.perf_counter() - t0) / iters
 
-    audio_sec = B * n / 16000.0
+    audio_sec = batch["source"].shape[0] * NSAMP / 16000.0
     value = audio_sec / dt
     print(
         json.dumps(

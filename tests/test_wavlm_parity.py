@@ -159,3 +159,48 @@ def test_base_plus_shape_smoke(reference_wavlm_module):
     np.testing.assert_allclose(
         np.asarray(out.x), ref_final.numpy(), rtol=3e-4, atol=5e-5
     )
+
+
+@pytest.mark.parametrize(
+    "k,stride,T",
+    [
+        (10, 5, 4003),   # frontend L0 shape class
+        (3, 2, 511),     # L1-4 class (k > stride, ragged tail)
+        (2, 2, 512),     # L5-6 class (k == stride)
+        (2, 2, 513),     # k == stride, ragged
+        (3, 1, 64),      # stride == 1
+        (2, 5, 103),     # k < stride
+        (5, 3, 200),     # k > stride, non-divisible
+        (1, 1, 32),      # degenerate
+    ],
+)
+def test_strided_conv_as_matmul_matches_lax_conv(k, stride, T):
+    """The stride-collapsed MXU formulation must equal lax.conv exactly —
+    values AND gradients — at every (k, stride) class the frontend uses and
+    several it doesn't (advisor round-2 finding #3)."""
+    from unispeech_tpu.models.encoder import strided_conv1d_as_matmul
+
+    rng = jax.random.PRNGKey(k * 100 + stride * 10 + T)
+    r1, r2 = jax.random.split(rng)
+    B, cin, cout = 2, 6, 8
+    x = jax.random.normal(r1, (B, T, cin), jnp.float32)
+    w = jax.random.normal(r2, (k, cin, cout), jnp.float32)
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(stride,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+
+    got = strided_conv1d_as_matmul(x, w, stride)
+    want = ref(x, w)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    g_got = jax.grad(lambda x, w: (strided_conv1d_as_matmul(x, w, stride) ** 2).sum(),
+                     argnums=(0, 1))(x, w)
+    g_want = jax.grad(lambda x, w: (ref(x, w) ** 2).sum(), argnums=(0, 1))(x, w)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -40,13 +40,17 @@ def _parse_args(argv=None):
     p.add_argument("--encoder-json", default=None,
                    help="JSON dict of EncoderConfig field overrides (e.g. "
                         "toy shapes for smoke tests)")
-    p.add_argument("--decoder", choices=["viterbi", "beam", "kenlm"],
+    p.add_argument("--decoder", choices=["viterbi", "beam", "kenlm", "neural"],
                    default="viterbi")
     p.add_argument("--beam", type=int, default=50)
     p.add_argument("--beam-threshold", type=float, default=25.0)
     p.add_argument("--lexicon", default=None,
                    help="word -> space-separated units, one per line")
-    p.add_argument("--lm-model", default=None, help="KenLM .arpa/.bin path")
+    p.add_argument("--lm-model", default=None,
+                   help="KenLM .arpa/.bin path, or (--decoder neural) a "
+                        "TransformerLM params .npz with its .json config")
+    p.add_argument("--lm-dict", default=None,
+                   help="word dictionary of the neural LM")
     p.add_argument("--lm-weight", type=float, default=2.0)
     p.add_argument("--word-score", type=float, default=-1.0)
     p.add_argument("--post-process", default="letter",
@@ -91,6 +95,14 @@ def build_decoder(args, dictionary):
         if not args.lm_model:
             sys.exit("--decoder kenlm requires --lm-model")
         lm = KenLMWrapper(args.lm_model)
+    elif args.decoder == "neural":
+        # shallow fusion with a jax TransformerLM (reference
+        # W2lFairseqLMDecoder, w2l_decoder.py:417)
+        if not (args.lm_model and args.lm_dict):
+            sys.exit("--decoder neural requires --lm-model and --lm-dict")
+        from unispeech_tpu.decode.lm_fusion import load_neural_lm
+
+        lm = load_neural_lm(args.lm_model, args.lm_dict)
     sil = dictionary.index("|") if "|" in dictionary else None
     return CtcBeamDecoder(
         beam=args.beam,

@@ -6,27 +6,30 @@ The hot op of the whole family (SURVEY.md §3.1): the reference runs
 in device memory. Here neither forward NOR backward ever materializes a
 (B, H, T, S) tensor in HBM.
 
-Layout: all kernels operate on (H, B, Tp, hd) arrays with an in-kernel loop
-over the batch. This makes every HBM stream amortized:
-  * the (h, q-tile) rel-pos bias block is loaded ONCE per program and reused
-    for all B batch rows (a (B*H, ...) layout re-streams it B*H times — that
-    alone was ~230 MB/layer/pass at Base shapes, the round-1 bottleneck);
-  * K/V for head h (all batch rows) stay VMEM-resident across the q-tile
-    grid axis (block index constant in the innermost axis);
-  * the bias is streamed in the compute dtype (bf16 in training): forward and
-    backward read the SAME low-precision value and upcast, so the backward's
-    probability recompute stays bit-exact.
+This op is VPU-bound on TPU (hd=64 gives ~256 MXU flops but ~10-20 VPU ops
+per logit element, and the VPU is ~2 orders of magnitude slower than the
+MXU), so the design minimizes full-(T, S) elementwise passes:
+  * q is pre-scaled outside the kernel (no `* scale` pass on (T, S));
+  * softmax normalization is deferred to the (T, hd) output (flash style);
+  * the additive key-padding mask pass is compiled out entirely when there
+    is no padding and S is already lane-aligned (the pretrain bucket shapes
+    are chosen frame-128-aligned for exactly this reason);
+  * dropout draws 16-bit thresholds — one PRNG word per TWO logits — with
+    threshold quantization 1/65536 (rel. rate error 6e-5 at p=0.1);
+  * ONE merged backward kernel produces dq/dk/dv/dgate/dbias from a single
+    probability recompute (the round-2 design ran two kernels, each
+    recomputing exp and regenerating dropout bits).
 
-  forward  — grid (H, T/TQ): q tile + full K/V per (head, all-b) resident;
-             logits + gate[b,h,t] * pos_bias[h,t,s] + padding mask -> fp32
-             softmax -> in-kernel dropout (pltpu PRNG, per-(b*H+h, q-tile)
-             streams) -> PV. Emits out and log-sum-exp rows for backward.
-  backward — two kernels, each tile-parallel, < 8 MB VMEM/program:
-               dq kernel, grid (H, QT): loops b; recomputes probabilities
-                 from (q, k, lse) — identical dropout bits regenerated — and
-                 emits dq, dgate, and dbias (accumulated over b in a scratch,
-                 written once).
-               dkv kernel, grid (H, KT): loops (b, q-tile); emits dk, dv.
+Compile-time / VMEM discipline (16 MB scoped-VMEM limit, remote AOT
+compiles): batch and head are GRID axes — kernel bodies contain no Python
+batch loop — and the (Tp, Sp) bias input / dbias output live in HBM
+(`pl.ANY`), streamed stripe-by-stripe with double-buffered manual DMA
+instead of BlockSpec pipeline buffers.
+
+Layout: (H, B, Tp, hd), grid (H, B), batch innermost: the per-head bias is
+reused across the batch axis, K/V are DMA'd once per (h, b), and dbias
+accumulates across batch programs in an fp32 VMEM scratch written out once
+per head by the last batch program.
 """
 
 from __future__ import annotations
@@ -56,11 +59,15 @@ def _tile_seed(seed, bh, qi):
 
 
 def _keep_scale(shape, rate: float):
-    """Dropout keep/(1-rate) multiplier from the seeded per-core PRNG."""
+    """(shape) fp32 keep/(1-rate) dropout multiplier from the seeded PRNG.
+
+    Bit-identical between forward and backward by construction (same seed →
+    same u32 stream)."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = min(int(rate * 4294967296.0), 4294967295)
-    keep = bits >= jnp.uint32(threshold)
-    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
+    return jnp.where(
+        bits >= jnp.uint32(threshold), 1.0 / (1.0 - rate), 0.0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -68,92 +75,125 @@ def _keep_scale(shape, rate: float):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
-                o_ref, lse_ref, *, scale: float, rate: float, H: int,
-                B: int, has_bias: bool):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
+                o_ref, lse_ref, bias_buf, sem_in,
+                *, rate: float, q_tile: int, H: int,
+                has_bias: bool, has_mask: bool):
     h = pl.program_id(0)
-    qi = pl.program_id(1)
-    bias = bias_ref[0].astype(jnp.float32) if has_bias else None  # (TQ, S)
-    for b in range(B):
-        q = q_ref[0, b]  # (TQ, hd)
-        k = k_ref[0, b]  # (S, hd)
+    b = pl.program_id(1)
+    Tp = q_ref.shape[2]
+    NQ = Tp // q_tile
+
+    def bias_dma(slot, qi):
+        return pltpu.make_async_copy(
+            bias_hbm.at[h, pl.ds(qi * q_tile, q_tile), :],
+            bias_buf.at[slot],
+            sem_in.at[slot],
+        )
+
+    if has_bias:
+        bias_dma(0, 0).start()
+
+    k = k_ref[0, 0]  # (Sp, hd)
+    v = v_ref[0, 0]
+
+    for qi in range(NQ):
+        sl = pl.ds(qi * q_tile, q_tile)
+        q = q_ref[0, 0, sl, :]  # (TQ, hd), pre-scaled
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (TQ, S)
+        )  # (TQ, Sp)
         if has_bias:
-            gate = gate_ref[0, b].astype(jnp.float32)  # (TQ, 1)
-            s = s + gate * bias
-        s = s + mask_ref[b].astype(jnp.float32)  # (1, S) broadcasts
+            if qi + 1 < NQ:
+                bias_dma((qi + 1) % 2, qi + 1).start()
+            bias_dma(qi % 2, qi).wait()
+            gate = gate_ref[0, 0, sl, :].astype(jnp.float32)  # (TQ, 1)
+            s = s + gate * bias_buf[qi % 2].astype(jnp.float32)
+        if has_mask:
+            s = s + mask_ref[0].astype(jnp.float32)  # (1, Sp) broadcasts
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        probs = p / l
         if rate > 0.0:
             pltpu.prng_seed(_tile_seed(seed_ref[0], b * H + h, qi))
-            probs = probs * _keep_scale(probs.shape, rate)
-        o_ref[0, b] = jnp.dot(
-            probs.astype(v_ref.dtype), v_ref[0, b],
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
-        lse_ref[0, b, :, 0] = (m + jnp.log(l))[:, 0]
+            p = p * _keep_scale(p.shape, rate)
+        # deferred normalization: divide the (TQ, hd) output, not the
+        # (TQ, Sp) probabilities — one fewer full-stripe VPU pass
+        acc = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, 0, sl, :] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0, 0, sl, 0] = (m + jnp.log(l))[:, 0]
 
 
 def _fwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
-                       o_ref, lse_ref, *, scale, rate, H, B, has_bias):
+                       o_ref, lse_ref, *, rate, q_tile, H, has_bias,
+                       has_mask):
     _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
-                o_ref, lse_ref, scale=scale, rate=rate, H=H, B=B,
-                has_bias=False)
+                o_ref, lse_ref, None, None,
+                rate=rate, q_tile=q_tile, H=H, has_bias=False,
+                has_mask=has_mask)
 
 
 def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
-                 scale, rate, q_tile, interpret):
+                 rate, q_tile, interpret):
     H, B, Tp, hd = qh.shape
     Sp = kh.shape[2]
     has_bias = biasp is not None
-    grid = (H, Tp // q_tile)
+    has_mask = addmask is not None
 
-    def q_map(h, qi, *_):
-        return (h, 0, qi, 0)
+    def hb_map(h, b, *_):
+        return (h, b, 0, 0)
 
-    def kv_map(h, qi, *_):
-        return (h, 0, 0, 0)
+    def mask_map(h, b, *_):
+        return (b, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, B, q_tile, hd), q_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, Sp, hd), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, Sp, hd), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sp, hd), hb_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sp, hd), hb_map, memory_space=pltpu.VMEM),
     ]
     args = [qh, kh, vh]
+    scratch = []
     if has_bias:
         in_specs += [
-            pl.BlockSpec((1, q_tile, Sp), lambda h, qi, *_: (h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, q_tile, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # bias stays in HBM
+            pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),
         ]
         args += [biasp, gatep]
-    in_specs.append(
-        pl.BlockSpec((B, 1, Sp), lambda h, qi, *_: (0, 0, 0),
-                     memory_space=pltpu.VMEM)
-    )
-    args.append(addmask)
+        scratch = [
+            pltpu.VMEM((2, q_tile, Sp), biasp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((1, 1, Sp), mask_map, memory_space=pltpu.VMEM)
+        )
+        args.append(addmask)
+    else:
+        # kernel signature keeps the mask slot; pass a 1-element dummy
+        in_specs.append(
+            pl.BlockSpec((1, 1, 128), lambda h, b, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.zeros((1, 1, 128), jnp.float32))
 
     kernel = functools.partial(
         _fwd_kernel if has_bias else _fwd_kernel_nobias,
-        scale=scale, rate=rate, H=H, B=B, has_bias=has_bias,
+        rate=rate, q_tile=q_tile, H=H, has_bias=has_bias, has_mask=has_mask,
     )
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(H, B),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, B, q_tile, hd), q_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, q_tile, 1), q_map,
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),
             ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((H, B, Tp, hd), qh.dtype),
@@ -171,311 +211,246 @@ def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
 
 
 # ---------------------------------------------------------------------------
-# backward
+# backward: one merged kernel
 # ---------------------------------------------------------------------------
 
 
-def _recompute_probs(q, k, lse, gate, bias, addmask, *, scale, has_bias):
-    """(TQ, S|KT) probabilities p = exp(s - lse), recomputed exactly like
-    the forward (bias read in the same storage dtype, upcast to fp32, so the
-    logits match bit-for-bit)."""
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    if has_bias:
-        s = s + gate * bias
-    s = s + addmask
-    return jnp.exp(s - lse)
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
+                lse_ref, delta_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dgate_ref, dbias_hbm,
+                dk_acc, dv_acc, dbias_acc, bias_buf, dbias_stage,
+                sem_in, sem_out,
+                *, rate: float, q_tile: int, H: int, B: int,
+                has_bias: bool, has_mask: bool):
+    """One (head, batch-row) program; loops q-stripes of size q_tile.
 
-
-def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
-               lse_ref, delta_ref, do_ref,
-               dq_ref, dgate_ref, dbias_ref, dbias_acc,
-               *, scale: float, rate: float, H: int, B: int, has_bias: bool):
-    """One (head, q-tile) program, looping batch rows.
-
-    Gradient math (dropout folded in): with probs p = exp(s - lse),
-    keep-scale c = keep/(1-rate), out = (p*c) @ v:
+    Gradient math (dropout folded in): with p = exp(s - lse) (the softmax
+    probabilities, recomputed), keep-scale c = keep/(1-rate), out = (p*c) @ v:
       dP    = dO @ v^T
       dS    = p * (c*dP - delta),   delta = rowsum(dO * out)
-      dq    = dS @ k * scale
-      dgate = rowsum(dS * bias) ;  dbias = sum_b gate * dS
+      dq    = dS @ k                (per stripe; q was pre-scaled)
+      dk   += dS^T @ q ;  dv += (p*c)^T @ dO   (across stripes)
+      dgate = rowsum(dS * bias) ;  dbias += gate * dS  (across batch)
     """
     h = pl.program_id(0)
-    qi = pl.program_id(1)
-    bias = bias_ref[0].astype(jnp.float32) if has_bias else None  # (TQ, S)
+    b = pl.program_id(1)
+    Tp = q_ref.shape[2]
+    NQ = Tp // q_tile
+
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
     if has_bias:
-        dbias_acc[...] = jnp.zeros_like(dbias_acc)
+        @pl.when(b == 0)
+        def _():
+            dbias_acc[...] = jnp.zeros_like(dbias_acc)
 
-    for b in range(B):
-        q = q_ref[0, b]  # (TQ, hd)
-        k = k_ref[0, b]  # (S, hd)
-        do = do_ref[0, b]
-        lse = lse_ref[0, b]  # (TQ, 1)
-        delta = delta_ref[0, b]
-        gate = gate_ref[0, b].astype(jnp.float32) if has_bias else None
-
-        p = _recompute_probs(
-            q, k, lse, gate, bias, mask_ref[b].astype(jnp.float32),
-            scale=scale, has_bias=has_bias,
+    def bias_dma(slot, qi):
+        return pltpu.make_async_copy(
+            bias_hbm.at[h, pl.ds(qi * q_tile, q_tile), :],
+            bias_buf.at[slot],
+            sem_in.at[slot],
         )
+
+    if has_bias:
+        bias_dma(0, 0).start()
+
+    k = k_ref[0, 0]  # (Sp, hd)
+    v = v_ref[0, 0]
+
+    for qi in range(NQ):
+        sl = pl.ds(qi * q_tile, q_tile)
+        q = q_ref[0, 0, sl, :]  # (TQ, hd), pre-scaled
+        do = do_ref[0, 0, sl, :]
+        lse = lse_ref[0, 0, sl, :]  # (TQ, 1)
+        delta = delta_ref[0, 0, sl, :]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if has_bias:
+            if qi + 1 < NQ:
+                bias_dma((qi + 1) % 2, qi + 1).start()
+            bias_dma(qi % 2, qi).wait()
+            gate = gate_ref[0, 0, sl, :].astype(jnp.float32)  # (TQ, 1)
+            bias = bias_buf[qi % 2].astype(jnp.float32)  # (TQ, Sp)
+            s = s + gate * bias
+        if has_mask:
+            s = s + mask_ref[0].astype(jnp.float32)
+        p = jnp.exp(s - lse)  # (TQ, Sp) — softmax probs, recomputed
+
         dp = jax.lax.dot_general(
-            do, v_ref[0, b], (((1,), (1,)), ((), ())),
+            do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (TQ, S)
+        )  # (TQ, Sp)
         if rate > 0.0:
+            # identical bit stream to the forward's draw
             pltpu.prng_seed(_tile_seed(seed_ref[0], b * H + h, qi))
             c = _keep_scale(p.shape, rate)
+            pc = p * c
             ds = p * (c * dp - delta)
         else:
+            pc = p
             ds = p * (dp - delta)
 
-        dq_ref[0, b] = (jax.lax.dot_general(
+        dq_ref[0, 0, sl, :] = jax.lax.dot_general(
             ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale).astype(dq_ref.dtype)
+        ).astype(dq_ref.dtype)
+        dv_acc[...] += jax.lax.dot_general(
+            pc.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Sp, hd)
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
         if has_bias:
-            dgate_ref[0, b, :, 0] = jnp.sum(ds * bias, axis=-1)
-            dbias_acc[...] += gate * ds
+            dgate_ref[0, 0, sl, 0] = jnp.sum(ds * bias, axis=-1)
+            dbias_acc[sl, :] += gate * ds
 
+            @pl.when(b == B - 1)
+            def _():
+                slot = qi % 2
+                # previous stripe's outbound DMA must have released the slot
+                if qi >= 2:
+                    pltpu.make_async_copy(
+                        dbias_stage.at[slot],
+                        dbias_hbm.at[h, pl.ds((qi - 2) * q_tile, q_tile), :],
+                        sem_out.at[slot],
+                    ).wait()
+
+                dbias_stage[slot] = dbias_acc[sl, :].astype(dbias_stage.dtype)
+                pltpu.make_async_copy(
+                    dbias_stage.at[slot],
+                    dbias_hbm.at[h, sl, :],
+                    sem_out.at[slot],
+                ).start()
+
+    dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
     if has_bias:
-        dbias_ref[0] = dbias_acc[...]
+        @pl.when(b == B - 1)
+        def _():
+            for qi in range(max(NQ - 2, 0), NQ):
+                pltpu.make_async_copy(
+                    dbias_stage.at[qi % 2],
+                    dbias_hbm.at[h, pl.ds(qi * q_tile, q_tile), :],
+                    sem_out.at[qi % 2],
+                ).wait()
 
 
-def _dq_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
-                      lse_ref, delta_ref, do_ref, dq_ref,
-                      *, scale, rate, H, B, has_bias):
-    _dq_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
-               lse_ref, delta_ref, do_ref, dq_ref, None, None, None,
-               scale=scale, rate=rate, H=H, B=B, has_bias=False)
-
-
-def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
-                lse_ref, delta_ref, do_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, bits_scratch,
-                *, scale: float, rate: float, q_tile: int, k_tile: int,
-                H: int, B: int, has_bias: bool):
-    """One (head, k-tile) program; inner loops over (batch, q-tile).
-
-      dv = (p*c)^T @ dO ;  dk = dS^T @ q * scale
-    The dropout keep-mask is regenerated from the same per-(b*H+h, q-tile)
-    seeds as the forward, then column-sliced to this k tile.
-    """
-    h = pl.program_id(0)
-    ki = pl.program_id(1)
-
-    Tp = q_ref.shape[2]
-    Sp_full = mask_ref.shape[2] if rate > 0.0 else 0  # full padded S for RNG
-    threshold = min(int(rate * 4294967296.0), 4294967295) if rate > 0.0 else 0
-
-    for b in range(B):
-        dk_acc[...] = jnp.zeros_like(dk_acc)
-        dv_acc[...] = jnp.zeros_like(dv_acc)
-        k = k_ref[0, b]  # (KT, hd)
-        v = v_ref[0, b]
-        mask = mask_ref[b, :, pl.ds(ki * k_tile, k_tile)].astype(jnp.float32)
-
-        for qi in range(Tp // q_tile):
-            sl = pl.ds(qi * q_tile, q_tile)
-            q = q_ref[0, b, sl, :]  # (TQ, hd)
-            do = do_ref[0, b, sl, :]
-            lse = lse_ref[0, b, sl, :]
-            delta = delta_ref[0, b, sl, :]
-            gate = (
-                gate_ref[0, b, sl, :].astype(jnp.float32) if has_bias else None
-            )
-            bias = bias_ref[0, sl, :].astype(jnp.float32) if has_bias else None
-
-            p = _recompute_probs(
-                q, k, lse, gate, bias, mask, scale=scale, has_bias=has_bias
-            )  # (TQ, KT)
-            dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (TQ, KT)
-            if rate > 0.0:
-                # same bit stream as the forward's (TQ, Sp) draw, staged
-                # through a VMEM scratch so this k tile's columns can be
-                # ref-sliced (Mosaic has no dynamic_slice on values)
-                pltpu.prng_seed(_tile_seed(seed_ref[0], b * H + h, qi))
-                bits_scratch[...] = pltpu.bitcast(
-                    pltpu.prng_random_bits((q_tile, Sp_full)), jnp.uint32
-                )
-                cols = bits_scratch[:, pl.ds(ki * k_tile, k_tile)]
-                c = jnp.where(
-                    cols >= jnp.uint32(threshold), 1.0 / (1.0 - rate), 0.0
-                )
-                pc = p * c
-                ds = p * (c * dp - delta)
-            else:
-                pc = p
-                ds = p * (dp - delta)
-
-            dv_acc[...] += jax.lax.dot_general(
-                pc.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (KT, hd)
-            dk_acc[...] += jax.lax.dot_general(
-                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-
-        dk_ref[0, b] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[0, b] = dv_acc[...].astype(dv_ref.dtype)
-
-
-def _dkv_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+def _bwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
                        lse_ref, delta_ref, do_ref,
-                       dk_ref, dv_ref, dk_acc, dv_acc, bits_scratch,
-                       *, scale, rate, q_tile, k_tile, H, B, has_bias):
-    _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
-                lse_ref, delta_ref, do_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                bits_scratch,
-                scale=scale, rate=rate, q_tile=q_tile, k_tile=k_tile,
-                H=H, B=B, has_bias=False)
+                       dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                       *, rate, q_tile, H, B, has_bias, has_mask):
+    _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
+                lse_ref, delta_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, None, None,
+                dk_acc, dv_acc, None, None, None, None, None,
+                rate=rate, q_tile=q_tile, H=H, B=B,
+                has_bias=False, has_mask=has_mask)
 
 
 def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
-                  scale, rate, q_tile, interpret):
+                  rate, q_tile, interpret):
     H, B, Tp, hd = qh.shape
     Sp = kh.shape[2]
     has_bias = biasp is not None
-    k_tile = min(q_tile, Sp)
+    has_mask = addmask is not None
 
-    def q_map(h, qi, *_):
-        return (h, 0, qi, 0)
+    def hb_map(h, b, *_):
+        return (h, b, 0, 0)
 
-    def full_map(h, qi, *_):
-        return (h, 0, 0, 0)
+    def mask_map(h, b, *_):
+        return (b, 0, 0)
 
-    def mask_map(h, qi, *_):
-        return (0, 0, 0)
-
-    # ---- dq / dgate / dbias kernel: grid (H, QT)
     in_specs = [
-        pl.BlockSpec((1, B, q_tile, hd), q_map, memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((1, B, Sp, hd), full_map, memory_space=pltpu.VMEM),  # k
-        pl.BlockSpec((1, B, Sp, hd), full_map, memory_space=pltpu.VMEM),  # v
+        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((1, 1, Sp, hd), hb_map, memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, 1, Sp, hd), hb_map, memory_space=pltpu.VMEM),  # v
     ]
     args = [qh, kh, vh]
-    scratch = []
     if has_bias:
         in_specs += [
-            pl.BlockSpec((1, q_tile, Sp), lambda h, qi, *_: (h, qi, 0),
-                         memory_space=pltpu.VMEM),  # bias (storage dtype)
-            pl.BlockSpec((1, B, q_tile, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # bias stays in HBM
+            pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),
         ]
         args += [biasp, gatep]
-        scratch = [pltpu.VMEM((q_tile, Sp), jnp.float32)]  # dbias accumulator
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((1, 1, Sp), mask_map, memory_space=pltpu.VMEM)
+        )
+        args.append(addmask)
+    else:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 128), lambda h, b, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.zeros((1, 1, 128), jnp.float32))
     in_specs += [
-        pl.BlockSpec((B, 1, Sp), mask_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, q_tile, 1), q_map, memory_space=pltpu.VMEM),  # lse
-        pl.BlockSpec((1, B, q_tile, 1), q_map, memory_space=pltpu.VMEM),  # dl
-        pl.BlockSpec((1, B, q_tile, hd), q_map, memory_space=pltpu.VMEM),  # dO
+        pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),  # lse
+        pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),  # delta
+        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dO
     ]
-    args += [addmask, lse, delta, do]
+    args += [lse, delta, do]
 
     out_specs = [
-        pl.BlockSpec((1, B, q_tile, hd), q_map, memory_space=pltpu.VMEM),  # dq
+        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dq
+        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dk
+        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dv
     ]
-    out_shape = [jax.ShapeDtypeStruct((H, B, Tp, hd), qh.dtype)]
+    out_shape = [
+        jax.ShapeDtypeStruct((H, B, Tp, hd), qh.dtype),
+        jax.ShapeDtypeStruct((H, B, Tp, hd), kh.dtype),
+        jax.ShapeDtypeStruct((H, B, Tp, hd), vh.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((Sp, hd), jnp.float32),  # dk accumulator
+        pltpu.VMEM((Sp, hd), jnp.float32),  # dv accumulator
+    ]
     if has_bias:
         out_specs += [
-            pl.BlockSpec((1, B, q_tile, 1), q_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_tile, Sp), lambda h, qi, *_: (h, qi, 0),
-                         memory_space=pltpu.VMEM),  # dbias
+            pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # dbias written via DMA
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((H, B, Tp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((H, Tp, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((H, B, Tp, 1), jnp.float32),  # dgate
+            jax.ShapeDtypeStruct((H, Tp, Sp), biasp.dtype),  # dbias
+        ]
+        scratch += [
+            pltpu.VMEM((Tp, Sp), jnp.float32),  # dbias accumulator
+            pltpu.VMEM((2, q_tile, Sp), biasp.dtype),  # bias stripe buffers
+            pltpu.VMEM((2, q_tile, Sp), biasp.dtype),  # dbias out staging
+            pltpu.SemaphoreType.DMA((2,)),  # bias in
+            pltpu.SemaphoreType.DMA((2,)),  # dbias out
         ]
 
-    dq_outs = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
-            _dq_kernel if has_bias else _dq_kernel_nobias,
-            scale=scale, rate=rate, H=H, B=B, has_bias=has_bias,
+            _bwd_kernel if has_bias else _bwd_kernel_nobias,
+            rate=rate, q_tile=q_tile, H=H, B=B,
+            has_bias=has_bias, has_mask=has_mask,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(H, Tp // q_tile),
+            grid=(H, B),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
         ),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=6 * H * B * Tp * Sp * hd,
-            bytes_accessed=(qh.size + kh.size + vh.size + do.size) * 2,
+            flops=10 * H * B * Tp * Sp * hd,
+            bytes_accessed=(qh.size + kh.size + vh.size + do.size) * 4,
             transcendentals=H * B * Tp * Sp,
         ),
         interpret=interpret,
     )(seed, *args)
     if has_bias:
-        dq, dgate, dbias = dq_outs
+        dq, dk, dv, dgate, dbias = outs
     else:
-        (dq,), dgate, dbias = dq_outs, None, None
-
-    # ---- dk/dv kernel: grid (H, KT), full q rows per head resident.
-    def kt_map(h, ki, *_):
-        return (h, 0, ki, 0)
-
-    in_specs2 = [
-        pl.BlockSpec((1, B, Tp, hd), full_map, memory_space=pltpu.VMEM),  # q
-        pl.BlockSpec((1, B, k_tile, hd), kt_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, k_tile, hd), kt_map, memory_space=pltpu.VMEM),
-    ]
-    args2 = [qh, kh, vh]
-    if has_bias:
-        in_specs2 += [
-            pl.BlockSpec((1, Tp, k_tile), lambda h, ki, *_: (h, 0, ki),
-                         memory_space=pltpu.VMEM),  # bias columns
-            pl.BlockSpec((1, B, Tp, 1), full_map, memory_space=pltpu.VMEM),
-        ]
-        args2 += [biasp, gatep]
-    in_specs2 += [
-        # full-S addmask: the kernel slices its k-tile columns; kept whole so
-        # the dropout RNG regeneration knows the padded S
-        pl.BlockSpec((B, 1, Sp), mask_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, Tp, 1), full_map, memory_space=pltpu.VMEM),  # lse
-        pl.BlockSpec((1, B, Tp, 1), full_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, Tp, hd), full_map, memory_space=pltpu.VMEM),  # dO
-    ]
-    args2 += [addmask, lse, delta, do]
-
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _dkv_kernel if has_bias else _dkv_kernel_nobias,
-            scale=scale, rate=rate, q_tile=q_tile, k_tile=k_tile,
-            H=H, B=B, has_bias=has_bias,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(H, Sp // k_tile),
-            in_specs=in_specs2,
-            out_specs=[
-                pl.BlockSpec((1, B, k_tile, hd), kt_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, k_tile, hd), kt_map,
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((k_tile, hd), jnp.float32),  # dk accumulator
-                pltpu.VMEM((k_tile, hd), jnp.float32),  # dv accumulator
-                pltpu.VMEM((q_tile, Sp), jnp.uint32),  # dropout bit stage
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((H, B, Sp, hd), kh.dtype),
-            jax.ShapeDtypeStruct((H, B, Sp, hd), vh.dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=6 * H * B * Tp * Sp * hd,
-            bytes_accessed=(qh.size + kh.size + vh.size + do.size) * 2,
-            transcendentals=H * B * Tp * Sp,
-        ),
-        interpret=interpret,
-    )(seed, *args2)
+        (dq, dk, dv), dgate, dbias = outs, None, None
     return dq, dk, dv, dbias, dgate
 
 
@@ -488,8 +463,7 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
 def _core(rate, q_tile, interpret, qh, kh, vh, biasp, gatep, addmask, seed):
     out, _ = _run_forward(
         qh, kh, vh, biasp, gatep, addmask, seed,
-        scale=qh.shape[-1] ** -0.5, rate=rate, q_tile=q_tile,
-        interpret=interpret,
+        rate=rate, q_tile=q_tile, interpret=interpret,
     )
     return out
 
@@ -498,8 +472,7 @@ def _core_fwd(rate, q_tile, interpret, qh, kh, vh, biasp, gatep, addmask,
               seed):
     out, lse = _run_forward(
         qh, kh, vh, biasp, gatep, addmask, seed,
-        scale=qh.shape[-1] ** -0.5, rate=rate, q_tile=q_tile,
-        interpret=interpret,
+        rate=rate, q_tile=q_tile, interpret=interpret,
     )
     return out, (qh, kh, vh, biasp, gatep, addmask, seed, out, lse)
 
@@ -512,11 +485,8 @@ def _core_bwd(rate, q_tile, interpret, res, g):
     dq, dk, dv, dbias, dgate = _run_backward(
         qh, kh, vh, biasp, gatep, addmask, seed, lse, delta,
         g.astype(qh.dtype),
-        scale=qh.shape[-1] ** -0.5, rate=rate, q_tile=q_tile,
-        interpret=interpret,
+        rate=rate, q_tile=q_tile, interpret=interpret,
     )
-    if dbias is not None:
-        dbias = dbias.astype(biasp.dtype)
     return dq, dk, dv, dbias, dgate, None, None
 
 
@@ -546,7 +516,8 @@ def fused_attention(
     attention probabilities never exist in HBM in either direction. The bias
     is streamed in q's dtype (bf16 under mixed precision): both passes read
     the same value, so the recompute is exact; dbias is returned in the
-    original bias dtype.
+    original bias dtype (per-element rounding through the storage dtype —
+    the table-gradient reduction outside sums in fp32).
     """
     B, T, H, hd = q.shape
     S = k.shape[1]
@@ -558,19 +529,24 @@ def fused_attention(
         cfg[axis] = (0, to - x.shape[axis])
         return jnp.pad(x, cfg) if to > x.shape[axis] else x
 
-    # (H, B, Tp, hd): head-major so per-head bias tiles and K/V streams are
-    # loaded once per (h, tile) and reused for every batch row
-    qh = pad_t(q, Tp, 1).transpose(2, 0, 1, 3)
+    # (H, B, Tp, hd): head-major so the per-head bias is shared across the
+    # batch grid axis and K/V blocks are DMA'd once per (h, b). q arrives
+    # pre-scaled so no (T, S) scaling pass exists in any kernel.
+    scale = hd**-0.5
+    qh = pad_t(q * jnp.asarray(scale, q.dtype), Tp, 1).transpose(2, 0, 1, 3)
     kh = pad_t(k, Sp, 1).transpose(2, 0, 1, 3)
     vh = pad_t(v, Sp, 1).transpose(2, 0, 1, 3)
 
-    if key_padding_mask is None:
-        addmask = jnp.zeros((B, Sp), jnp.float32)
+    if key_padding_mask is None and Sp == S:
+        addmask = None  # mask pass compiled out
     else:
-        addmask = jnp.where(pad_t(key_padding_mask, Sp, 1), NEG_INF, 0.0)
-    if Sp > S:
-        addmask = addmask.at[:, S:].set(NEG_INF)
-    addmask = addmask.astype(jnp.float32)[:, None, :]  # (B, 1, Sp)
+        if key_padding_mask is None:
+            addmask = jnp.zeros((B, Sp), jnp.float32)
+        else:
+            addmask = jnp.where(pad_t(key_padding_mask, Sp, 1), NEG_INF, 0.0)
+        if Sp > S:
+            addmask = addmask.at[:, S:].set(NEG_INF)
+        addmask = addmask.astype(jnp.float32)[:, None, :]  # (B, 1, Sp)
 
     biasp = gatep = None
     if bias is not None:

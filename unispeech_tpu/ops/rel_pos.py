@@ -63,15 +63,29 @@ def compute_rel_pos_bias(
 ) -> jax.Array:
     """Return (num_heads, query_length, key_length) bias.
 
-    Matches reference `compute_bias` (/root/reference/WavLM/modules.py:444-455).
-    Bias is a pure table lookup -> cheap one-hot matmul on TPU; XLA turns the
-    take() into a gather which is fine at (T*S) scale once per step.
+    Matches reference `compute_bias` (/root/reference/WavLM/modules.py:444-455)
+    numerically, but exploits that bias[t, s] depends only on the diagonal
+    d = s - t: gather the T+S-1 per-diagonal values from the table (tiny),
+    then expand diagonals -> (T, S) with the pad/reshape skew trick. Unlike a
+    (T, S)-indexed `take`, whose transpose is a 9.6M-element scatter-add on
+    the bias-table gradient (serialized on TPU), every op here (broadcast,
+    pad, reshape, slice) has a vectorized transpose; the only scatter left is
+    over the T+S-1 diagonal rows.
     """
-    context = jnp.arange(query_length, dtype=jnp.int32)[:, None]
-    memory = jnp.arange(key_length, dtype=jnp.int32)[None, :]
-    relative_position = memory - context  # (T, S)
+    T, S = query_length, key_length
+    H = bias_table.shape[1]
+    ndiag = T + S - 1
+    rel_pos = jnp.arange(ndiag, dtype=jnp.int32)[None, :] - (T - 1)  # s - t
     buckets = relative_position_bucket(
-        relative_position, num_buckets=num_buckets, max_distance=max_distance
-    )
-    values = jnp.take(bias_table, buckets, axis=0)  # (T, S, H)
-    return jnp.transpose(values, (2, 0, 1))  # (H, T, S)
+        rel_pos, num_buckets=num_buckets, max_distance=max_distance
+    )[0]
+    rel = jnp.take(bias_table, buckets, axis=0)  # (ndiag, H)
+    # skew: row t of the result is rel[t-offset ...]; flat index identity
+    #   t*(T+S-1) + s + (T-1) == t*(T+S) + (s - t + T - 1)
+    # so a width-(T+S) padded broadcast reshaped at width (T+S-1) from offset
+    # T-1 reads exactly bias[t, s] = rel[s - t + T - 1].
+    x = jnp.broadcast_to(rel.T[:, None, :], (H, T, ndiag))
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 1)))  # (H, T, T+S)
+    flat = x.reshape(H, T * (T + S))
+    flat = flat[:, T - 1 : T - 1 + T * ndiag]
+    return flat.reshape(H, T, ndiag)[:, :, :S]

@@ -17,6 +17,22 @@ import jax
 _INITIALIZED = False
 
 
+def multihost_env_detected(environ=None) -> bool:
+    """True when the environment indicates a multi-host launch.
+
+    Judged PER SOURCE: TPU-pod env vars are sufficient on their own (a pod
+    without SLURM must not silently fall back to single-process); the SLURM
+    node count only counts when it is actually > 1. Reference parity:
+    /root/reference/src/fairseq/distributed/utils.py:255-297.
+    """
+    env = os.environ if environ is None else environ
+    return (
+        "MEGASCALE_COORDINATOR_ADDRESS" in env
+        or "TPU_WORKER_HOSTNAMES_OVERRIDE" in env
+        or env.get("SLURM_JOB_NUM_NODES", "1") != "1"
+    )
+
+
 def maybe_initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -46,12 +62,7 @@ def maybe_initialize_distributed(
     if process_id is None and env_pid:
         process_id = int(env_pid)
 
-    # auto-detected multi-host environments (TPU pod slices export these)
-    auto = any(
-        k in os.environ
-        for k in ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES_OVERRIDE",
-                  "SLURM_JOB_NUM_NODES")
-    ) and os.environ.get("SLURM_JOB_NUM_NODES", "1") != "1"
+    auto = multihost_env_detected()
 
     if coordinator_address is None and not auto:
         return False

@@ -283,6 +283,66 @@ def cmd_finetune_ctc(args) -> None:
     )
 
 
+def cmd_train_lm(args) -> None:
+    """Train a word/subword TransformerLM for shallow-fusion decoding
+    (reference language_modeling task, src/fairseq/tasks/language_modeling.py;
+    consumed by decode --decoder neural)."""
+    import json
+    import os
+
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.lm_dataset import (
+        LMIterator,
+        TokenBlockDataset,
+        tokenize_corpus,
+    )
+    from unispeech_tpu.models.lm import TransformerLM, TransformerLMConfig
+    from unispeech_tpu.train.loop import run_training
+    from unispeech_tpu.train.optim import OptimConfig, make_optimizer
+    from unispeech_tpu.train.tasks import make_lm_loss_fn
+
+    d = Dictionary.load(args.dict)
+    cfg = TransformerLMConfig(
+        vocab_size=len(d),
+        embed_dim=args.embed_dim,
+        ffn_dim=args.ffn_dim,
+        layers=args.layers,
+        heads=args.heads,
+        padding_idx=d.pad(),
+        max_positions=max(args.block_size * 2, 2048),
+    )
+    model = TransformerLM(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    tokens = tokenize_corpus(args.corpus, d)
+    data = LMIterator(
+        TokenBlockDataset(tokens, args.block_size),
+        batch_size=args.batch_size or 32,
+        padding_idx=d.pad(),
+        seed=args.seed,
+    )
+    loss_fn = make_lm_loss_fn(model, d.pad())
+    tx = make_optimizer(
+        OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
+                    total_steps=args.max_updates, clip_norm=args.clip_norm)
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    it = iter(data)
+    init_batch = next(it)
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    with open(os.path.join(args.checkpoint_dir, "lm_config.json"), "w") as f:
+        json.dump(
+            {k: getattr(cfg, k) for k in (
+                "vocab_size", "embed_dim", "ffn_dim", "layers", "heads",
+                "dropout", "padding_idx", "max_positions", "learned_pos",
+                "normalize_before", "share_input_output_embed")},
+            f,
+        )
+    run_training(
+        model, loss_fn, tx, it, init_batch, _loop_cfg(args),
+        init_rngs={"params": rng, "dropout": rng},
+        data_state=data,
+    )
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser("unispeech_tpu.train")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -332,6 +392,33 @@ def main(argv=None) -> None:
     fc.add_argument("--freeze-finetune-updates", type=int, default=10_000)
     fc.add_argument("--no-rel-pos", action="store_true")
     fc.set_defaults(fn=cmd_finetune_ctc)
+
+    lm = sub.add_parser("train-lm")
+    lm.add_argument("--corpus", required=True, help="tokenized text file")
+    lm.add_argument("--dict", required=True, help="word/subword dictionary")
+    lm.add_argument("--block-size", type=int, default=128)
+    lm.add_argument("--batch-size", type=int, default=32)
+    lm.add_argument("--embed-dim", type=int, default=512)
+    lm.add_argument("--ffn-dim", type=int, default=2048)
+    lm.add_argument("--layers", type=int, default=6)
+    lm.add_argument("--heads", type=int, default=8)
+    lm.add_argument("--checkpoint-dir", default="checkpoints")
+    lm.add_argument("--max-updates", type=int, default=50_000)
+    lm.add_argument("--lr", type=float, default=5e-4)
+    lm.add_argument("--warmup-steps", type=int, default=4_000)
+    lm.add_argument("--clip-norm", type=float, default=0.0)
+    lm.add_argument("--seed", type=int, default=1)
+    lm.add_argument("--log-interval", type=int, default=100)
+    lm.add_argument("--save-interval-updates", type=int, default=10_000)
+    lm.add_argument("--n-model", type=int, default=1)
+    lm.add_argument("--fsdp", action="store_true")
+    lm.add_argument("--bf16", action="store_true", default=True)
+    lm.add_argument("--tensorboard-dir", default=None)
+    lm.add_argument("--accum-steps", type=int, default=1)
+    lm.add_argument("--coordinator-address", default=None)
+    lm.add_argument("--num-processes", type=int, default=None)
+    lm.add_argument("--process-id", type=int, default=None)
+    lm.set_defaults(fn=cmd_train_lm)
 
     args = parser.parse_args(argv)
     # must run before any other jax use so every host sees the global mesh

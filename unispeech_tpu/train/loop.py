@@ -219,6 +219,8 @@ def _as_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 def _init_kwargs(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    if "tokens" in batch:  # language-modeling batches
+        return {"tokens": jnp.asarray(batch["tokens"][:1])}
     kw: Dict[str, Any] = {"source": jnp.asarray(batch["source"][:1])}
     if "targets" in batch:
         kw["targets"] = jnp.asarray(batch["targets"][:1])

@@ -174,3 +174,28 @@ def make_seq2seq_loss_fn(model, label_smoothing: float = 0.1):
         return loss, ntokens.astype(jnp.float32), metrics
 
     return loss_fn
+
+
+def make_lm_loss_fn(model, padding_idx: int):
+    """Next-token CE for TransformerLM (reference language_modeling task +
+    cross_entropy criterion, src/fairseq/tasks/language_modeling.py).
+
+    batch: {"tokens": (B, S), "targets": (B, S)} — targets are tokens
+    shifted left by one, pad-masked.
+    """
+    from unispeech_tpu.models.lm import lm_loss
+
+    def loss_fn(params, batch, rng, step):
+        logits = model.apply(
+            {"params": params}, batch["tokens"], deterministic=False,
+            rngs={"dropout": rng},
+        )
+        loss, n_tokens = lm_loss(logits, batch["targets"], padding_idx)
+        metrics = {
+            "loss": loss,
+            "sample_size": n_tokens,
+            "ntokens": n_tokens,
+        }
+        return loss, n_tokens, metrics
+
+    return loss_fn
