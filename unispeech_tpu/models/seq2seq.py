@@ -479,3 +479,119 @@ def greedy_decode(
         step, (tokens0, finished0), jnp.arange(max_len)
     )
     return tokens[:, 1:]
+
+
+def _ngram_ban_mask(
+    tokens: jax.Array,  # (B, K, L) token history (positions 0..t valid)
+    t: jax.Array,  # current last filled position (traced)
+    n: int,  # ngram size
+    vocab: int,
+) -> jax.Array:
+    """(B, K, V) {0,1} mask of tokens that would complete an n-gram already
+    present in the prefix — pure-JAX replacement for the reference CUDA
+    `ngram_repeat_block` kernel (src/fairseq/clib/cuda/ngram_repeat_block*,
+    python fallback fairseq/ngram_repeat_block.py:87-150)."""
+    B, K, L = tokens.shape
+    m = n - 1
+    Lw = L - m  # number of window start positions
+    # stacked (n-1)-gram windows starting at every i: (B, K, Lw, m)
+    wins = jnp.stack([tokens[:, :, j : j + Lw] for j in range(m)], axis=-1)
+    # the (n-1)-gram ending at position t: tokens[t-m+1 : t+1]
+    start = jnp.maximum(t - m + 1, 0)
+    last = jax.lax.dynamic_slice_in_dim(tokens, start, m, axis=2)  # (B,K,m)
+    match = jnp.all(wins == last[:, :, None, :], axis=-1)  # (B, K, Lw)
+    pos = jnp.arange(Lw)[None, None, :]
+    valid = (pos + n - 1 <= t) & (t >= m)
+    match = match & valid
+    banned = tokens[:, :, m : m + Lw]  # token following each window
+    onehot = jax.nn.one_hot(banned, vocab, dtype=jnp.float32)  # (B,K,Lw,V)
+    return jnp.max(onehot * match[..., None].astype(jnp.float32), axis=2)
+
+
+def beam_decode(
+    model: Seq2SeqModel,
+    variables: Dict,
+    source: jax.Array,
+    lengths: Optional[jax.Array],
+    bos: int,
+    eos: int,
+    beam_size: int = 5,
+    max_len: int = 200,
+    len_penalty: float = 1.0,
+    no_repeat_ngram: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Static-shape beam search over the seq2seq decoder.
+
+    Reference behavior: fairseq SequenceGenerator
+    (/root/reference/src/fairseq/sequence_generator.py:178-438 — beam
+    expansion via top-2k over (K*V), eos-finalization with length penalty
+    score/len^alpha, no-repeat-ngram blocking). TPU reformulation: beams
+    live in the batch axis ((B*K) decoder forwards), one `lax.scan` over
+    positions, no dynamic shapes or hypothesis lists; finished beams are
+    frozen by forcing eos at zero cost.
+
+    Returns (tokens (B, K, max_len), scores (B, K)) sorted best-first.
+    """
+    h, pad = model.apply(
+        variables, source, lengths, True,
+        method=lambda m, s, l, det: m.encode(s, l, det),
+    )
+    B, T = source.shape[0], h.shape[1]
+    K = beam_size
+    V = model.cfg.decoder.vocab_size
+    hK = jnp.repeat(h, K, axis=0)  # (B*K, T, D)
+    padK = None if pad is None else jnp.repeat(pad, K, axis=0)
+
+    def apply_dec(tokens_flat):
+        return model.apply(
+            variables, tokens_flat, hK, padK,
+            method=lambda m, tk, hh, pp: m.decoder(tk, hh, pp,
+                                                   deterministic=True),
+        )
+
+    tokens0 = jnp.full((B, K, max_len + 1), eos, jnp.int32).at[:, :, 0].set(bos)
+    # only beam 0 is live initially (all beams share the bos prefix)
+    scores0 = jnp.where(
+        jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+    ).astype(jnp.float32).repeat(B, axis=0).reshape(B, K)
+    finished0 = jnp.zeros((B, K), bool)
+    out_len0 = jnp.full((B, K), max_len, jnp.int32)
+
+    def step(carry, t):
+        tokens, scores, finished, out_len = carry
+        logits = apply_dec(tokens.reshape(B * K, -1)[:, :-1])
+        lp = jax.nn.log_softmax(
+            logits.reshape(B, K, max_len, V)[:, :, t, :], axis=-1
+        )  # (B, K, V)
+        if no_repeat_ngram > 1:
+            ban = _ngram_ban_mask(tokens, t, no_repeat_ngram, V)
+            lp = lp + ban * NEG_INF
+        # frozen beams: only eos continuation, at zero incremental cost
+        eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)
+        lp = jnp.where(finished[..., None], eos_only[None, None, :], lp)
+
+        cand = scores[..., None] + lp  # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)  # (B, K)
+        src_beam = top_idx // V
+        tok = (top_idx % V).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(
+            tokens, src_beam[:, :, None], axis=1
+        ).at[:, :, t + 1].set(tok)
+        finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        out_len = jnp.take_along_axis(out_len, src_beam, axis=1)
+        newly = (~finished) & (tok == eos)
+        out_len = jnp.where(newly, t + 1, out_len)
+        finished = finished | newly
+        return (tokens, top_scores, finished, out_len), None
+
+    (tokens, scores, finished, out_len), _ = jax.lax.scan(
+        step, (tokens0, scores0, finished0, out_len0), jnp.arange(max_len)
+    )
+    # fairseq length penalty: score / len^alpha (sequence_generator.py:667)
+    norm = scores / jnp.maximum(out_len, 1).astype(jnp.float32) ** len_penalty
+    order = jnp.argsort(-norm, axis=1)
+    tokens = jnp.take_along_axis(tokens[:, :, 1:], order[:, :, None], axis=1)
+    norm = jnp.take_along_axis(norm, order, axis=1)
+    return tokens, norm
