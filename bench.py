@@ -47,6 +47,11 @@ BASELINE_AUDIO_SEC_PER_S = 3400.0
 B = int(os.environ.get("BENCH_B", "6"))
 NSAMP = 245_840
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+# Optimizer steps per dispatch: the tunneled runtime costs ~60-70 ms of
+# host round-trip per dispatch (measured round 3: 100 ms wall vs 33 ms
+# device compute per step); production TPU loops amortize dispatch with an
+# in-graph multi-step scan, so the bench does too.
+INNER = int(os.environ.get("BENCH_INNER", "1"))
 
 
 def build_step(b=B, nsamp=NSAMP, remat=REMAT):
@@ -108,7 +113,7 @@ def build_step(b=B, nsamp=NSAMP, remat=REMAT):
     state = create_train_state(variables["params"], tx)
     state = jax.device_put(state, jax.devices()[0])
     loss_fn = make_hubert_loss_fn(model, HubertCriterionConfig())
-    step = make_train_step(loss_fn, tx)
+    step = make_train_step(loss_fn, tx, inner_steps=INNER)
     batch = {"source": wav, "targets": targets}
     return step, state, batch, jax.random.PRNGKey(1)
 
@@ -123,12 +128,12 @@ def main():
     print(f"# compile+step0 {time.perf_counter()-t0:.1f}s loss={loss0:.3f}",
           flush=True)
 
-    iters = 20
+    iters = max(20 // INNER, 2)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, rng_step)
     float(m["loss_per_sample"])  # forces completion of the whole queue
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * INNER)
 
     audio_sec = batch["source"].shape[0] * NSAMP / 16000.0
     value = audio_sec / dt

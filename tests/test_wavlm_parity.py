@@ -204,3 +204,27 @@ def test_strided_conv_as_matmul_matches_lax_conv(k, stride, T):
     for a, b in zip(g_got, g_want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_expand_attention_head_size():
+    """q/k head widening (reference multihead_attention.py:88-92): q/k
+    project to H*expand, v keeps D/H, scaling follows the expanded dim."""
+    from unispeech_tpu.configs import base_encoder_config
+    from unispeech_tpu.models.encoder import TransformerEncoder
+
+    enc = base_encoder_config(
+        encoder_layers=2, encoder_embed_dim=64, encoder_ffn_embed_dim=128,
+        encoder_attention_heads=4, expand_attention_head_size=24,
+        relative_position_embedding=True, gru_rel_pos=True,
+        num_buckets=32, max_distance=64, use_flash_attention=False,
+    )
+    m = TransformerEncoder(enc)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 37, 64))
+    variables = m.init({"params": jax.random.PRNGKey(1)}, x)
+    qk = variables["params"]["layers"]["self_attn"]["q_proj"]["kernel"]
+    vk = variables["params"]["layers"]["self_attn"]["v_proj"]["kernel"]
+    assert qk.shape == (2, 64, 4 * 24)  # (L, D, H*expand)
+    assert vk.shape == (2, 64, 64)
+    out = m.apply(variables, x)
+    assert out.x.shape == (2, 37, 64)
+    assert np.isfinite(np.asarray(out.x)).all()

@@ -88,6 +88,9 @@ class EncoderConfig:
     num_buckets: int = 320
     max_distance: int = 1280
     gru_rel_pos: bool = False
+    # q/k head-dim expansion (reference multihead_attention.py:38-92:
+    # q/k project to H*expand while v keeps embed_dim/H; scaling expand^-0.5)
+    expand_attention_head_size: int = -1
 
     # input normalization (matched to extractor_mode=layer_norm in recipes)
     normalize: bool = False

@@ -130,6 +130,39 @@ def ordered_indices(
     return order
 
 
+def chunk_shuffled_indices(
+    sizes: np.ndarray,
+    chunk_ids: np.ndarray,  # (N,) shard index per row, -1 = unsharded
+    seed: int,
+    epoch: int,
+    max_sample_size: int,
+    group: int = 10,
+) -> np.ndarray:
+    """Shard-locality-preserving shuffle for zip-sharded corpora.
+
+    Reference behavior (utterance_mixing_dataset.py:519-547): permute the
+    shard (chunk) order per epoch, then for every run of `group` shards,
+    length-sort descending (capped at max_sample_size) with a random
+    tiebreak. Rows from one archive stay near each other, so reads remain
+    sequential per shard, while batches still get near-uniform lengths.
+    """
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    n_chunks = int(chunk_ids.max()) + 1
+    chunk_rows = [np.flatnonzero(chunk_ids == c) for c in range(n_chunks)]
+    loose = np.flatnonzero(chunk_ids < 0)
+    if len(loose):
+        chunk_rows.append(loose)
+    order = rng.permutation(len(chunk_rows))
+    out: List[np.ndarray] = []
+    for g0 in range(0, len(order), group):
+        rows = np.concatenate([chunk_rows[c] for c in order[g0 : g0 + group]])
+        capped = np.minimum(sizes[rows], max_sample_size)
+        noise = rng.permutation(len(rows))
+        sort_idx = np.lexsort((noise, capped))[::-1]
+        out.append(rows[sort_idx])
+    return np.concatenate(out) if out else np.arange(0)
+
+
 def shard_batches(
     batches: List[np.ndarray], num_shards: int, shard_id: int,
 ) -> List[np.ndarray]:

@@ -108,6 +108,9 @@ class PretrainIterator:
             ]
             lengths = np.asarray([max(len(g), 1) for g in self._lang_groups])
             self._lang_ratios = multilang_size_ratios(lengths, multilang_alpha)
+        # zip-sharded manifests: preserve archive locality when shuffling
+        # (reference chunk shuffle, utterance_mixing_dataset.py:519-547)
+        self._chunk_ids = manifest.chunk_ids()
         self._buckets = length_buckets(
             int(sizes[self._keep].max()) if len(self._keep) else cfg.max_sample_size,
             min_size=min(cfg.min_sample_size, int(sizes[self._keep].min()) if len(self._keep) else cfg.min_sample_size),
@@ -151,10 +154,18 @@ class PretrainIterator:
 
     def _plan(self, epoch: int) -> List[np.ndarray]:
         pool = self._epoch_rows(epoch)
-        order = ordered_indices(
-            self._sizes[pool], self.seed, epoch, shuffle=self.cfg.shuffle
-        )
-        idx = pool[order]
+        if self._chunk_ids is not None and self.cfg.shuffle:
+            from unispeech_tpu.data.batching import chunk_shuffled_indices
+
+            idx = pool[chunk_shuffled_indices(
+                self._sizes[pool], self._chunk_ids[pool], self.seed, epoch,
+                self.cfg.max_sample_size,
+            )]
+        else:
+            order = ordered_indices(
+                self._sizes[pool], self.seed, epoch, shuffle=self.cfg.shuffle
+            )
+            idx = pool[order]
         if self.cfg.fixed_shapes:
             # exact-size batches per bucket; idx is length-sorted so rows
             # arrive bucket-by-bucket and stay grouped

@@ -29,6 +29,22 @@ class Manifest:
     def abspath(self, i: int) -> str:
         return os.path.join(self.root, self.paths[i])
 
+    def chunk_ids(self) -> Optional[np.ndarray]:
+        """(N,) shard index per row for zip-sharded manifests
+        ("archive.zip:offset:length" rows — reference chunk_names tracking,
+        utterance_mixing_dataset.py:145-155), or None when the manifest has
+        no sharded rows. Consecutive rows of one archive share an id."""
+        ids = np.full(len(self.paths), -1, np.int64)
+        names: List[str] = []
+        for i, p in enumerate(self.paths):
+            f, slc = parse_path(p)
+            if slc is None:
+                continue
+            if not names or f != names[-1]:
+                names.append(f)
+            ids[i] = len(names) - 1
+        return ids if names else None
+
     @classmethod
     def load(cls, tsv_path: str) -> "Manifest":
         paths, sizes = [], []
@@ -103,9 +119,65 @@ def audio_num_samples(path: str) -> int:
         return w.getnframes()
 
 
+AUDIO_EXTS = (".wav", ".flac", ".ogg")
+
+
+def parse_path(path: str) -> Tuple[str, Optional[Tuple[int, int]]]:
+    """Split a manifest path into (file, byte-slice).
+
+    Two forms (reference audio_utils.parse_path,
+    /root/reference/src/fairseq/data/audio/audio_utils.py:171-193):
+      1. a plain .wav/.flac/.ogg file -> (path, None)
+      2. "archive.zip:offset:length" -> (archive.zip, (offset, length)) —
+         a byte slice of a STORED (uncompressed) zip member holding a
+         complete audio file.
+    """
+    if path.endswith(AUDIO_EXTS):
+        return path, None
+    parts = path.split(":")
+    if len(parts) == 3:
+        return parts[0], (int(parts[1]), int(parts[2]))
+    return path, None
+
+
+def read_stored_slice(file_path: str, offset: int, length: int) -> bytes:
+    """Byte slice of a stored-zip member (audio_utils.py:164-168)."""
+    with open(file_path, "rb") as f:
+        f.seek(offset)
+        return f.read(length)
+
+
 def load_audio(path: str, expected_rate: Optional[int] = 16000) -> np.ndarray:
-    """Load mono fp32 waveform in [-1, 1]."""
+    """Load mono fp32 waveform in [-1, 1].
+
+    Accepts plain audio paths and "zip:offset:length" stored-zip slices
+    (the reference's sharded-corpus format)."""
+    file_path, slc = parse_path(path)
     sf = _soundfile()
+    if slc is not None:
+        import io
+
+        data = read_stored_slice(file_path, *slc)
+        if sf is None:
+            import wave
+
+            with wave.open(io.BytesIO(data), "rb") as w:
+                assert w.getsampwidth() == 2
+                sr = w.getframerate()
+                raw = np.frombuffer(
+                    w.readframes(w.getnframes()), dtype=np.int16
+                )
+                if w.getnchannels() > 1:
+                    raw = raw.reshape(-1, w.getnchannels()).mean(axis=-1)
+                wav = raw.astype(np.float32) / 32768.0
+        else:
+            wav, sr = sf.read(io.BytesIO(data), dtype="float32")
+            if wav.ndim > 1:
+                wav = wav.mean(axis=-1)
+        if expected_rate is not None and sr != expected_rate:
+            raise ValueError(f"{path}: rate {sr} != expected {expected_rate}")
+        return np.ascontiguousarray(wav, dtype=np.float32)
+    path = file_path
     if sf is not None:
         wav, sr = sf.read(path, dtype="float32")
         if wav.ndim > 1:

@@ -274,6 +274,9 @@ def main(argv=None) -> None:
         report["wer"] = round(scorer.wer, 4)
         report["uer"] = round(unit_scorer.wer, 4)
     print(json.dumps(report))
+    if args.results_path:
+        with open(os.path.join(args.results_path, "wer_report.json"), "w") as f:
+            json.dump(report, f, indent=1)
 
 
 if __name__ == "__main__":

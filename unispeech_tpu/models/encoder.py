@@ -344,18 +344,23 @@ class SelfAttention(nn.Module):
         D = cfg.encoder_embed_dim
         H = cfg.encoder_attention_heads
         hd = D // H
+        # q/k head-dim expansion (reference multihead_attention.py:88-92):
+        # q/k heads widen to `expand`, v keeps hd; softmax scaling follows q
+        hd_qk = cfg.expand_attention_head_size
+        if hd_qk <= 0:
+            hd_qk = hd
 
         # init_bert_params overrides every encoder linear to normal(0.02)
         # (/root/reference/WavLM/modules.py:168-200; applied at WavLM.py:562)
-        dense = lambda name: nn.Dense(
-            D,
+        dense = lambda name, feats=D: nn.Dense(
+            feats,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.normal(0.02),
             name=name,
         )
-        q = dense("q_proj")(x).reshape(*x.shape[:2], H, hd)
-        k = dense("k_proj")(x).reshape(*x.shape[:2], H, hd)
+        q = dense("q_proj", H * hd_qk)(x).reshape(*x.shape[:2], H, hd_qk)
+        k = dense("k_proj", H * hd_qk)(x).reshape(*x.shape[:2], H, hd_qk)
         v = dense("v_proj")(x).reshape(*x.shape[:2], H, hd)
 
         gate = None
@@ -375,7 +380,8 @@ class SelfAttention(nn.Module):
         # both forward and backward (ops/pallas/flash_attention.py).
         # streaming/chunked masks (reference self_attn_mask hook,
         # wavlm.py:698,730) take the XLA path — a niche eval configuration.
-        if cfg.use_flash_attention and _on_tpu() and attn_mask is None:
+        if (cfg.use_flash_attention and _on_tpu() and attn_mask is None
+                and hd_qk == hd):
             from unispeech_tpu.ops.pallas.flash_attention import fused_attention
 
             seed = None
@@ -509,11 +515,16 @@ class TransformerEncoderLayer(nn.Module):
         if not self.scanned:
             return x
         if cfg.encoder_layerdrop > 0.0 and not deterministic:
+            # scalar blend, NOT jnp.where with a broadcast predicate: XLA
+            # saves where's predicate for the backward, which under scan
+            # materializes an (L, B, T, D) bool buffer (54 MB at Base bench
+            # shapes, seen in the round-3 device trace); the multiply's
+            # saved residual is one scalar per layer.
             keep = (
                 jax.random.uniform(self.make_rng("layerdrop"), ())
                 > cfg.encoder_layerdrop
-            )
-            x = jnp.where(keep, x, x_in)
+            ).astype(x.dtype)
+            x = x_in + keep * (x - x_in)
         return x, (x_in if self.collect else None)
 
 
@@ -575,9 +586,16 @@ class TransformerEncoder(nn.Module):
                 jnp.float32,
             )
             T = x.shape[1]
+            # computed once OUTSIDE the layer scan, already in the compute
+            # dtype: the scan then carries/accumulates the (H, T, S) bias and
+            # its cotangent at bf16 width instead of fp32 (28 MB -> 14 MB per
+            # layer of HBM traffic at Base bench shapes). The per-element
+            # bf16 rounding of the bias gradient is the same deliberate
+            # tradeoff the kernel already makes (round-2 advisor note #1);
+            # the (num_buckets, H) table gradient reduction still sums fp32.
             position_bias = compute_rel_pos_bias(
                 table, T, T, cfg.num_buckets, cfg.max_distance
-            ).astype(jnp.float32)
+            ).astype(self.dtype)
 
         L = cfg.encoder_layers
         layer_outputs = None

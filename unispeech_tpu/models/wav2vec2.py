@@ -94,6 +94,12 @@ class Wav2Vec2PretrainModel(nn.Module):
 
         vq_result = None
         vq_ids = None
+        cb_negs = None
+        cb_ids = None
+        project_q = nn.Dense(
+            final_dim, dtype=self.dtype, param_dtype=jnp.float32,
+            name="project_q",
+        )
         if cfg.quantize_targets:
             vq = GumbelVectorQuantizer(
                 cfg.quantizer,
@@ -108,13 +114,25 @@ class Wav2Vec2PretrainModel(nn.Module):
                 produce_targets=True,
             )
             vq_ids = vq_result["targets"]  # (B, T, G)
-            y = nn.Dense(
-                final_dim, dtype=self.dtype, param_dtype=jnp.float32, name="project_q"
-            )(vq_result["x"])
+            y = project_q(vq_result["x"])
+            if cfg.codebook_negatives > 0:
+                # uniform draws over the per-group codebooks, appended to the
+                # sampled negatives (reference wav2vec2.py:669-677 via
+                # sample_from_codebook, gumbel_vector_quantizer.py:117-128)
+                cw = vq_result["codebook"]  # (G, V, var_dim) fp32
+                Gq, Vq, _ = cw.shape
+                Bq, Tq = unmasked.shape[:2]
+                cb_ids = jax.random.randint(
+                    self.make_rng("negatives"),
+                    (Bq, Tq, cfg.codebook_negatives, Gq), 0, Vq,
+                )
+                cb = cw[jnp.arange(Gq)[None, None, None, :], cb_ids]
+                cb_negs = project_q(
+                    cb.reshape(Bq, Tq, cfg.codebook_negatives, -1)
+                    .astype(self.dtype)
+                )
         else:
-            y = nn.Dense(
-                final_dim, dtype=self.dtype, param_dtype=jnp.float32, name="project_q"
-            )(unmasked)
+            y = project_q(unmasked)
 
         x = out.x
         q_stream = None
@@ -125,6 +143,8 @@ class Wav2Vec2PretrainModel(nn.Module):
                 D, dtype=self.dtype, param_dtype=jnp.float32, name="final_proj"
             )
             y = final_proj(y)
+            if cb_negs is not None:
+                cb_negs = final_proj(cb_negs)
             cx = x
             # reference computes `q` by re-quantizing unmasked_features
             # (wav2vec2.py:652-653); we quantize every frame once, so the
@@ -138,10 +158,14 @@ class Wav2Vec2PretrainModel(nn.Module):
         if cfg.target_glu:
             from unispeech_tpu.models.hubert import GLUProj
 
-            y = GLUProj(y.shape[-1], dtype=self.dtype, name="target_glu")(y)
+            glu = GLUProj(y.shape[-1], dtype=self.dtype, name="target_glu")
+            y = glu(y)
+            if cb_negs is not None:
+                cb_negs = glu(cb_negs)
 
         logits = self._contrastive_logits(
-            cx, y, vq_ids, out.mask_indices, out.padding_mask
+            cx, y, vq_ids, out.mask_indices, out.padding_mask,
+            cb_negs=cb_negs, cb_ids=cb_ids,
         )
 
         ctc_logits = None
@@ -176,8 +200,10 @@ class Wav2Vec2PretrainModel(nn.Module):
             q_stream=q_stream,
         )
 
-    def _contrastive_logits(self, x, y, vq_ids, mask_indices, padding_mask):
-        """(B, T, 1+N) cosine logits: column 0 = positive, rest = negatives."""
+    def _contrastive_logits(self, x, y, vq_ids, mask_indices, padding_mask,
+                            cb_negs=None, cb_ids=None):
+        """(B, T, 1+N) cosine logits: column 0 = positive, rest = negatives
+        (sampled negatives, then codebook negatives when configured)."""
         cfg = self.cfg
         B, T, _ = y.shape
         n_same = cfg.num_negatives
@@ -225,6 +251,11 @@ class Wav2Vec2PretrainModel(nn.Module):
             neg_is_pos = jnp.all(neg_ids == vq_ids[:, :, None, :], axis=-1)
         else:
             neg_is_pos = jnp.all(negs == y[:, :, None, :], axis=-1)
+
+        if cb_negs is not None:
+            negs = jnp.concatenate([negs, cb_negs.astype(negs.dtype)], axis=2)
+            cb_is_pos = jnp.all(cb_ids == vq_ids[:, :, None, :], axis=-1)
+            neg_is_pos = jnp.concatenate([neg_is_pos, cb_is_pos], axis=-1)
 
         xf = x.astype(jnp.float32)
         xn = xf * jax.lax.rsqrt(jnp.sum(xf * xf, -1, keepdims=True) + 1e-12)

@@ -106,6 +106,9 @@ class GumbelVectorQuantizer(nn.Module):
             "code_perplexity": code_perplexity,
             "prob_perplexity": prob_perplexity,
             "temp": temp,
+            # (G, V, var_dim) codewords for codebook-negative sampling
+            # (reference sample_from_codebook, gumbel_vector_quantizer.py:117)
+            "codebook": cw,
         }
         if produce_targets:
             result["targets"] = k.reshape(B, T, G)

@@ -36,6 +36,8 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--save-interval-updates", type=int, default=25_000)
     p.add_argument("--arch", choices=["base", "large"], default="base")
+    p.add_argument("--encoder-json", default=None,
+                   help="JSON dict of EncoderConfig overrides")
     p.add_argument("--n-model", type=int, default=1, help="tensor-parallel mesh axis")
     p.add_argument("--fsdp", action="store_true", help="ZeRO-3 param sharding")
     p.add_argument("--bf16", action="store_true", default=True)
@@ -43,6 +45,9 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation (reference update_freq)")
     # multi-host bootstrap (reference distributed_init, distributed/utils.py)
+    p.add_argument("--export-params", default=None,
+                   help="write final params as flat .npz (for --w2v-path / "
+                        "decode --checkpoint / downstream CLIs)")
     p.add_argument("--coordinator-address", default=None,
                    help="host:port of process 0 for multi-host runs")
     p.add_argument("--num-processes", type=int, default=None)
@@ -50,10 +55,19 @@ def _common(p: argparse.ArgumentParser) -> None:
 
 
 def _encoder(args, **over):
+    import dataclasses
+    import json as _json
+
     from unispeech_tpu.configs import base_encoder_config, large_encoder_config
 
     fn = base_encoder_config if args.arch == "base" else large_encoder_config
-    return fn(**over)
+    enc = fn(**over)
+    if getattr(args, "encoder_json", None):
+        extra = _json.loads(args.encoder_json)
+        if "conv_layers" in extra:
+            extra["conv_layers"] = tuple(tuple(c) for c in extra["conv_layers"])
+        enc = dataclasses.replace(enc, **extra)
+    return enc
 
 
 def _loop_cfg(args):
@@ -70,6 +84,7 @@ def _loop_cfg(args):
         fsdp=args.fsdp,
         tensorboard_dir=args.tensorboard_dir,
         accum_steps=args.accum_steps,
+        export_params=getattr(args, "export_params", None),
     )
 
 
@@ -415,6 +430,7 @@ def main(argv=None) -> None:
     lm.add_argument("--bf16", action="store_true", default=True)
     lm.add_argument("--tensorboard-dir", default=None)
     lm.add_argument("--accum-steps", type=int, default=1)
+    lm.add_argument("--export-params", default=None)
     lm.add_argument("--coordinator-address", default=None)
     lm.add_argument("--num-processes", type=int, default=None)
     lm.add_argument("--process-id", type=int, default=None)

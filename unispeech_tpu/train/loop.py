@@ -34,6 +34,9 @@ class LoopConfig:
     max_updates: int = 400_000
     log_interval: int = 100
     save_interval_updates: int = 25_000
+    # optional flat-.npz params export at end of training (consumed by
+    # finetune --w2v-path / decode --checkpoint / downstream CLIs)
+    export_params: Optional[str] = None
     validate_interval_updates: int = 25_000
     max_valid_steps: int = 0  # 0 = full pass
     keep_last_checkpoints: int = 3
@@ -178,6 +181,10 @@ def run_training(
     )
     ckpt.wait()
     ckpt.close()
+    if cfg.export_params:
+        from unispeech_tpu.train.checkpoint import save_params_npz
+
+        save_params_npz(cfg.export_params, jax.device_get(state.params))
     logger.close()
     vlogger.close()
     return state

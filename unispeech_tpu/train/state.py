@@ -49,6 +49,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     donate_state: bool = True,
     accum_steps: int = 1,
+    inner_steps: int = 1,
 ):
     """Build the jitted train step.
 
@@ -61,6 +62,13 @@ def make_train_step(
     carry a leading (accum_steps, ...) axis; raw (unnormalized) gradients are
     summed over microbatches with `lax.scan` and divided by the TOTAL sample
     size — exactly equivalent to one step on the concatenated batch.
+
+    inner_steps > 1 runs K FULL optimizer steps per dispatch under one
+    `lax.scan` (each on the same host-provided batch pytree, with the
+    per-step RNG folded from the advancing state.step). Host↔device
+    round-trips per optimizer step are the dominant cost on tunneled /
+    high-latency runtimes; production TPU loops amortize them exactly this
+    way. Metrics returned are the LAST inner step's.
     """
 
     def raw_objective(params, batch, rng, step):
@@ -113,6 +121,20 @@ def make_train_step(
             step=state.step + 1, params=new_params, opt_state=new_opt
         )
         return new_state, metrics
+
+    if inner_steps > 1:
+        def multi_step(state: TrainState, batch, rng):
+            def body(st, _):
+                return step_fn(st, batch, rng)
+
+            return jax.lax.scan(body, state, None, length=inner_steps)
+
+        def outer(state, batch, rng):
+            state, ms = multi_step(state, batch, rng)
+            return state, jax.tree.map(lambda m: m[-1], ms)
+
+        donate = (0,) if donate_state else ()
+        return jax.jit(outer, donate_argnums=donate)
 
     donate = (0,) if donate_state else ()
     return jax.jit(step_fn, donate_argnums=donate)
