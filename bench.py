@@ -95,7 +95,10 @@ def build_step(b=B, nsamp=NSAMP, remat=REMAT):
     # lowering, so init (whose params are implementation-independent) runs
     # the XLA attention path on the CPU backend.
     cfg_init = dataclasses.replace(
-        cfg, encoder=dataclasses.replace(enc, use_flash_attention=False)
+        cfg,
+        encoder=dataclasses.replace(
+            enc, use_flash_attention=False, use_fused_conv=False
+        ),
     )
     model_init = HubertPretrainModel(cfg_init, dtype=jnp.bfloat16)
     cpu = jax.devices("cpu")[0]

@@ -182,6 +182,7 @@ def main():
         "--arch", "base",
         "--encoder-json", ENC_SMALL,
         "--min-sample-size", "8000",
+        "--num-buckets", "2",
         "--max-tokens", "400000",
         "--max-updates", "60",
         "--warmup-steps", "20",
@@ -209,14 +210,15 @@ def main():
         "--arch", "base",
         "--encoder-json", ENC_SMALL,
         "--min-sample-size", "8000",
+        "--num-buckets", "2",
         "--max-tokens", "400000",
-        "--max-updates", "300",
-        "--warmup-steps", "60",
+        "--max-updates", "1500",
+        "--warmup-steps", "150",
         "--lr", "3e-3",
         "--mask-prob", "0.2",
         "--freeze-finetune-updates", "0",
-        "--log-interval", "25",
-        "--save-interval-updates", "300",
+        "--log-interval", "100",
+        "--save-interval-updates", "1500",
         "--checkpoint-dir", ft_dir,
         "--export-params", ft_npz,
     ])

@@ -45,31 +45,64 @@ def main():
         print("no xplane file found", flush=True)
         return
     path = max(files, key=os.path.getmtime)
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa
 
     xspace = xplane_pb2.XSpace()
     with open(path, "rb") as f:
         xspace.ParseFromString(f.read())
 
+    import re
+    from collections import defaultdict
+
+    CATS = [
+        ("attn_kernel", r"self_attn"),
+        ("conv_frontend", r"(49167|49168|24583|24584|12291|12292|6145|6146|"
+                          r"3071|3072\b.*512|1535|1536\b.*512|245840)"),
+        ("ffn", r"(768,3072|3072,768|6,768,3072)"),
+        ("optimizer", r"14146560|1178880"),
+        ("bias_grad", r"12,6,768,768|12,768,768|768,1535"),
+        ("posconv", r"16,48|769"),
+        ("copies", r"^%(copy|bitcast|reshape|transpose|pad\b)"),
+    ]
+
+    def cat(name):
+        for c, pat in CATS:
+            if re.search(pat, name):
+                return c
+        return None
+
     for plane in xspace.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
+        if plane.name != "/device:TPU:0":
             continue
         ev_names = {i: m.name for i, m in plane.event_metadata.items()}
-        totals = defaultdict(float)
         for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname or "xla op" in lname:
-                continue  # avoid double counting; use XLA Modules/ops lines
+            if line.name != "XLA Ops":
+                continue
+            cats = defaultdict(float)
+            members = defaultdict(lambda: defaultdict(float))
+            other = defaultdict(float)
+            total = 0.0
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, "?")
-                totals[name] += ev.duration_ps / 1e9  # -> ms
-        if not totals:
-            continue
-        print(f"\n== plane: {plane.name} (top 40 by total ms over 3 steps) ==")
-        for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:40]:
-            print(f"{ms/3:9.3f} ms  {name[:110]}")
-        lines_names = [l.name for l in plane.lines]
-        print("lines:", lines_names[:20])
+                if name.startswith("%while"):
+                    continue  # outer scan events double-count their bodies
+                ms = ev.duration_ps / 1e9 / 3
+                total += ms
+                c = cat(name)
+                key = re.sub(r"\.\d+", "", name)[:90]
+                if c:
+                    cats[c] += ms
+                    members[c][key] += ms
+                else:
+                    other[key] += ms
+            print(f"\nleaf total {total:.1f} ms/step")
+            for c, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
+                print(f"  {c:16s} {ms:7.2f} ms")
+                for k, v in sorted(members[c].items(), key=lambda kv: -kv[1])[:6]:
+                    print(f"      {v:7.3f}  {k}")
+            print(f"  OTHER {sum(other.values()):7.2f}; top:")
+            for name, ms in sorted(other.items(), key=lambda kv: -kv[1])[:10]:
+                print(f"      {ms:7.3f}  {name}")
 
 
 if __name__ == "__main__":

@@ -98,6 +98,13 @@ class EncoderConfig:
     # TPU hot path: Pallas fused attention (bias+gate+softmax+PV in VMEM).
     # Auto-disabled off-TPU.
     use_flash_attention: bool = True
+    # Fused gelu->conv(k3,s2)->gelu Pallas blocks for the 512-channel
+    # frontend layers (ops/pallas/conv_chain.py). Default OFF: the kernel
+    # itself wins, but the XLA-side even/odd phase-split views cost more in
+    # relayout copies than the fusion saves (round-3 trace: +11 ms copies
+    # vs -8 ms conv at Base bench shapes). Groundwork for an in-kernel
+    # deinterleave variant.
+    use_fused_conv: bool = False
 
     # Stack the transformer layers with nn.scan (single compiled layer body,
     # params get a leading L axis) and rematerialize activations inside each

@@ -39,9 +39,16 @@ Dtype = Any
 # ---------------------------------------------------------------------------
 
 
+@jax.checkpoint
 def gelu_fp32(x: jax.Array) -> jax.Array:
     """Exact (erf) GELU computed in fp32, like reference `gelu`
-    (/root/reference/WavLM/modules.py:140-141)."""
+    (/root/reference/WavLM/modules.py:140-141).
+
+    jax.checkpoint: without it XLA saves the fp32 upcast of the (often
+    bf16) input as the backward residual — at Base bench shapes that is an
+    fp32 (L, B, T, 3072) store per FFN (650 MB/step, measured in the
+    round-3 device trace). Recomputing the cast+erf in backward is ~20x
+    cheaper than the HBM round-trip."""
     return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
 
 
@@ -78,17 +85,31 @@ class Fp32LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dim = x.shape[-1]
-        xf = x.astype(jnp.float32)
-        mean = xf.mean(-1, keepdims=True)
-        var = xf.var(-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        if self.use_scale:
-            scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
-            y = y * scale
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-            y = y + bias
-        return y.astype(x.dtype)
+        scale = (
+            self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+            if self.use_scale else None
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+            if self.use_bias else None
+        )
+
+        # checkpointed: backward recomputes the fp32 island from the bf16
+        # input instead of storing fp32 normalized activations (see
+        # gelu_fp32 note)
+        @jax.checkpoint
+        def _norm(x, scale, bias):
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(-1, keepdims=True)
+            var = xf.var(-1, keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+            if scale is not None:
+                y = y * scale
+            if bias is not None:
+                y = y + bias
+            return y.astype(x.dtype)
+
+        return _norm(x, scale, bias)
 
 
 class Fp32GroupNorm(nn.Module):
@@ -106,15 +127,24 @@ class Fp32GroupNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         B, T, C = x.shape
         assert C % self.num_groups == 0
-        xf = x.astype(jnp.float32).reshape(B, T, self.num_groups, C // self.num_groups)
-        # normalize over (time, channels-in-group)
-        mean = xf.mean(axis=(1, 3), keepdims=True)
-        var = xf.var(axis=(1, 3), keepdims=True)
-        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(B, T, C)
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        y = y * scale + bias
-        return y.astype(x.dtype)
+
+        # checkpointed for the same reason as Fp32LayerNorm: at the conv
+        # frontend's L0 output (B, ~49k, 512) the fp32 residual store alone
+        # is ~600 MB/step
+        @jax.checkpoint
+        def _norm(x, scale, bias):
+            xf = x.astype(jnp.float32).reshape(
+                B, T, self.num_groups, C // self.num_groups
+            )
+            # normalize over (time, channels-in-group)
+            mean = xf.mean(axis=(1, 3), keepdims=True)
+            var = xf.var(axis=(1, 3), keepdims=True)
+            y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(B, T, C)
+            return (y * scale + bias).astype(x.dtype)
+
+        return _norm(x, scale, bias)
 
 
 @jax.custom_vjp
@@ -204,13 +234,24 @@ class Conv1dMM(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h: jax.Array) -> jax.Array:
+    def __call__(self, h: jax.Array, fused_gelu: Optional[str] = None) -> jax.Array:
         kernel = self.param(
             "kernel",
             nn.initializers.he_normal(),
             (self.kernel_size, h.shape[-1], self.features),
             jnp.float32,
         )
+        if fused_gelu is not None:
+            # TPU path: whole gelu->conv->gelu stage in one Pallas block
+            # (ops/pallas/conv_chain.py); k==3, s==2, no bias only
+            from unispeech_tpu.ops.pallas.conv_chain import (
+                fused_conv_gelu_block,
+            )
+
+            return fused_conv_gelu_block(
+                h.astype(self.dtype), kernel,
+                gelu_in=(fused_gelu == "in_out"),
+            )
         y = strided_conv1d_as_matmul(h.astype(self.dtype), kernel, self.stride)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -236,20 +277,48 @@ class ConvFeatureExtractor(nn.Module):
         assert x.ndim == 2, "expect raw waveform (B, T_samples)"
         h = x[:, :, None].astype(self.dtype)  # (B, T, 1)
         mode = self.cfg.extractor_mode
-        for i, (dim, k, stride) in enumerate(self.cfg.conv_layers):
-            h = Conv1dMM(
+        layers = self.cfg.conv_layers
+        # which layers run as fused Pallas gelu->conv->gelu blocks: the
+        # 512-channel (k=3, s=2) stages of "default" mode, on TPU only
+        can_fuse = (
+            self.cfg.use_fused_conv
+            and mode == "default"
+            and not self.cfg.conv_bias
+            and _on_tpu()
+        )
+        fuse = [
+            bool(
+                can_fuse
+                and i > 0
+                and k == 3
+                and s == 2
+                and layers[i - 1][0] == dim
+            )
+            for i, (dim, k, s) in enumerate(layers)
+        ]
+        pending_gelu = False  # previous layer's gelu deferred into the block
+        for i, (dim, k, stride) in enumerate(layers):
+            conv = Conv1dMM(
                 features=dim,
                 kernel_size=k,
                 stride=stride,
                 use_bias=self.cfg.conv_bias,
                 dtype=self.dtype,
                 name=f"conv_{i}",
-            )(h)
+            )
+            if fuse[i]:
+                h = conv(h, fused_gelu="in_out" if pending_gelu else "out")
+                pending_gelu = False
+                continue
+            h = conv(h)
             if mode == "layer_norm":
                 h = Fp32LayerNorm(name=f"ln_{i}")(h)
             elif mode == "default" and i == 0:
                 h = Fp32GroupNorm(num_groups=dim, name="gn_0")(h)
-            h = gelu_fp32(h)
+            if i + 1 < len(layers) and fuse[i + 1]:
+                pending_gelu = True  # the next fused block applies it
+            else:
+                h = gelu_fp32(h)
         return h  # (B, T_frames, C)
 
 

@@ -352,12 +352,35 @@ def _bwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
                 has_bias=False, has_mask=has_mask)
 
 
+def _vmem_check(Tp, Sp, hd, q_tile, itemsize):
+    """Actionable failure instead of an opaque Mosaic scoped-VMEM error
+    (16 MB limit; round-2 advisor finding #2)."""
+    est = (
+        4 * Tp * hd * itemsize * 2        # q/k/v/dO blocks (double-buffered)
+        + 3 * Tp * hd * itemsize * 2      # dq/dk/dv out blocks
+        + 2 * Sp * hd * 4                 # dk/dv fp32 accumulators
+        + Tp * Sp * 4                     # dbias fp32 accumulator
+        + 4 * q_tile * Sp * itemsize      # bias stripe + staging buffers
+        + 5 * q_tile * Sp * 4             # stripe temporaries (p/dp/ds/...)
+    )
+    limit = 15 * 1024 * 1024
+    if est > limit:
+        raise ValueError(
+            f"fused_attention backward needs ~{est/2**20:.1f} MiB VMEM "
+            f"(scoped limit 16 MiB) at T={Tp}, S={Sp}, head_dim={hd}, "
+            f"q_tile={q_tile}. Reduce q_tile, shorten the sequence bucket, "
+            "or fall back to the XLA path (use_flash_attention=False)."
+        )
+
+
 def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
                   rate, q_tile, interpret):
     H, B, Tp, hd = qh.shape
     Sp = kh.shape[2]
     has_bias = biasp is not None
     has_mask = addmask is not None
+    if not interpret and has_bias:
+        _vmem_check(Tp, Sp, hd, q_tile, qh.dtype.itemsize)
 
     def hb_map(h, b, *_):
         return (h, b, 0, 0)

@@ -29,6 +29,8 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-tokens", type=int, default=1_400_000)
     p.add_argument("--max-sample-size", type=int, default=250_000)
     p.add_argument("--min-sample-size", type=int, default=32_000)
+    p.add_argument("--num-buckets", type=int, default=8,
+                   help="distinct batch shapes (= compiled step programs)")
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--warmup-steps", type=int, default=32_000)
     p.add_argument("--clip-norm", type=float, default=0.0)
@@ -95,6 +97,7 @@ def _data_cfg(args, **over):
         max_sample_size=args.max_sample_size,
         min_sample_size=args.min_sample_size,
         max_tokens=args.max_tokens,
+        num_buckets=args.num_buckets,
         **over,
     )
 
