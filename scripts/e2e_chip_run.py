@@ -214,7 +214,8 @@ def main():
         "--max-tokens", "400000",
         "--max-updates", "1500",
         "--warmup-steps", "150",
-        "--lr", "3e-3",
+        "--lr", "1e-3",
+        "--clip-norm", "10",
         "--mask-prob", "0.2",
         "--freeze-finetune-updates", "0",
         "--log-interval", "100",

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-B, NSAMP = 6, 250_000
+B, NSAMP = 6, 245_840  # 768 frames, lane-aligned (bench.py)
 H, HD, D = 12, 64, 768
 
 

@@ -159,3 +159,39 @@ def test_kernel_present_in_train_step_hlo():
     lowered = step.lower(state, batch, rng)
     hlo = lowered.as_text()
     assert hlo.count("tpu_custom_call") >= 2, "fused attention not in step"
+
+
+def test_masked_bias_gradients_vs_xla_on_chip():
+    """Compiled-kernel gradients with key-padding mask + bias + gate
+    (dropout off) must match the XLA path in bf16 — the exact configuration
+    CTC fine-tuning runs (variable-length batches)."""
+    Bs, Ts = 2, 256
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    q = jax.random.normal(ks[0], (Bs, Ts, H, HD), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (Bs, Ts, H, HD), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (Bs, Ts, H, HD), jnp.bfloat16)
+    b = jax.random.normal(ks[3], (H, Ts, Ts), jnp.float32)
+    g = jax.nn.sigmoid(jax.random.normal(ks[4], (Bs, H, Ts))) + 1.0
+    lengths = jnp.asarray([Ts, Ts - 75])
+    kpm = jnp.arange(Ts)[None, :] >= lengths[:, None]
+
+    valid = (~kpm).astype(jnp.float32)[:, :, None, None]
+
+    def loss_fused(q, k, v, b, g):
+        o = fused_attention(q, k, v, b, g, kpm)
+        return ((o.astype(jnp.float32) * valid) ** 2).sum()
+
+    def loss_ref(q, k, v, b, g):
+        bias = g[..., None] * b[None].astype(jnp.float32)
+        o = multihead_attention(q, k, v, bias=bias, key_padding_mask=kpm,
+                                deterministic=True)
+        return ((o.astype(jnp.float32) * valid) ** 2).sum()
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4)))(q, k, v, b, g)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4)))(q, k, v, b, g)
+    for name, a, r in zip(["q", "k", "v", "bias", "gate"], gf, gr):
+        a = np.asarray(a, np.float32)
+        r = np.asarray(r, np.float32)
+        denom = np.abs(r).mean() + 1e-6
+        rel = np.abs(a - r).mean() / denom
+        assert rel < 0.06, (name, rel, float(np.abs(a - r).max()))
