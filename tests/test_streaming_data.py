@@ -212,3 +212,47 @@ def test_feats_iterator(tmp_path):
     # dynamic range clamped to top_db (reference scales /top_db + 1, so the
     # spread is at most 1; the absolute level depends on signal loudness)
     assert lm.max() - lm.min() <= 1.0 + 1e-5
+
+
+def test_s2t_dataset(tmp_path):
+    """Column-TSV S2T dataset: wav + zip-slice + npy sources, targets."""
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.s2t import S2TIterator, load_s2t_source, load_s2t_tsv
+
+    rng = np.random.default_rng(5)
+    # one plain wav, one zip-sliced wav, one npy feature file
+    wav1 = rng.standard_normal(4000).astype(np.float32) * 0.1
+    with open(tmp_path / "u1.wav", "wb") as f:
+        f.write(_write_wav_bytes(wav1))
+    wav2 = rng.standard_normal(5000).astype(np.float32) * 0.1
+    shard = str(tmp_path / "s.zip")
+    (off, ln), = _make_zip_shard(shard, [wav2])
+    feats = rng.standard_normal((40, 13)).astype(np.float32)
+    np.save(tmp_path / "u3.npy", feats)
+
+    with open(tmp_path / "train.tsv", "w") as f:
+        f.write("id\taudio\tn_frames\ttgt_text\n")
+        f.write(f"u1\tu1.wav\t{len(wav1)}\thello world\n")
+        f.write(f"u2\ts.zip:{off}:{ln}\t{len(wav2)}\tbye now\n")
+
+    entries = load_s2t_tsv(str(tmp_path / "train.tsv"))
+    assert [e.utt_id for e in entries] == ["u1", "u2"]
+    s2 = load_s2t_source(entries[1])
+    assert len(s2) == len(wav2)
+
+    d = Dictionary()
+    for w in "hello world bye now".split():
+        d.add_symbol(w)
+    it = S2TIterator(entries, tgt_dict=d, batch_size=2, num_buckets=2)
+    batch = next(iter(it))
+    assert batch["source"].shape[0] == 2
+    assert batch["targets"].shape[0] == 2
+    # eos-terminated targets
+    for row, tl in zip(batch["targets"], batch["target_lengths"]):
+        assert row[tl - 1] == d.eos()
+
+    # npy feature source path
+    from unispeech_tpu.data.s2t import S2TEntry
+
+    got = load_s2t_source(S2TEntry("u3", str(tmp_path / "u3.npy"), 40))
+    assert np.allclose(got, feats)
