@@ -98,6 +98,9 @@ class EncoderConfig:
     # TPU hot path: Pallas fused attention (bias+gate+softmax+PV in VMEM).
     # Auto-disabled off-TPU.
     use_flash_attention: bool = True
+    # q-stripe rows per kernel iteration (micro-bench: 256 beats 128 by
+    # ~10% at Base shapes; VMEM-checked at runtime)
+    attention_q_tile: int = 256
     # Fused gelu->conv(k3,s2)->gelu Pallas blocks for the 512-channel
     # frontend layers (ops/pallas/conv_chain.py). Default OFF: the kernel
     # itself wins, but the XLA-side even/odd phase-split views cost more in

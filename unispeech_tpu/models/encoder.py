@@ -462,6 +462,7 @@ class SelfAttention(nn.Module):
                 q, k, v, position_bias, gate, key_padding_mask,
                 dropout_rate=cfg.attention_dropout if use_dropout else 0.0,
                 dropout_seed=seed,
+                q_tile=cfg.attention_q_tile,
             )
         else:
             bias = None

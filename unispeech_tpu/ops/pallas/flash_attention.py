@@ -420,13 +420,13 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
 
     out_specs = [
         pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dq
-        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dk
-        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dv
+        pl.BlockSpec((1, 1, Sp, hd), hb_map, memory_space=pltpu.VMEM),  # dk
+        pl.BlockSpec((1, 1, Sp, hd), hb_map, memory_space=pltpu.VMEM),  # dv
     ]
     out_shape = [
         jax.ShapeDtypeStruct((H, B, Tp, hd), qh.dtype),
-        jax.ShapeDtypeStruct((H, B, Tp, hd), kh.dtype),
-        jax.ShapeDtypeStruct((H, B, Tp, hd), vh.dtype),
+        jax.ShapeDtypeStruct((H, B, Sp, hd), kh.dtype),
+        jax.ShapeDtypeStruct((H, B, Sp, hd), vh.dtype),
     ]
     scratch = [
         pltpu.VMEM((Sp, hd), jnp.float32),  # dk accumulator
@@ -544,6 +544,11 @@ def fused_attention(
     """
     B, T, H, hd = q.shape
     S = k.shape[1]
+    # honor q_tile only when it does not add padding beyond 128-alignment
+    # (short eval buckets would otherwise pad T up to the tile)
+    while q_tile > 128 and _round_up(T, q_tile) > _round_up(T, 128):
+        q_tile //= 2
+    q_tile = max(q_tile, 128) if T >= 128 else _round_up(T, 16)
     Tp = _round_up(T, q_tile)
     Sp = _round_up(S, 128)
 
