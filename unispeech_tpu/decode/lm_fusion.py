@@ -93,7 +93,13 @@ def load_neural_lm(
     from unispeech_tpu.train.checkpoint import load_params_npz
 
     word_dict = Dictionary.load(dict_path)
-    with open(os.path.splitext(checkpoint)[0] + ".json") as f:
+    cfg_path = os.path.splitext(checkpoint)[0] + ".json"
+    if not os.path.exists(cfg_path):
+        # fallback: train-lm also writes <checkpoint_dir>/lm_config.json
+        alt = os.path.join(os.path.dirname(checkpoint) or ".", "lm_config.json")
+        if os.path.exists(alt):
+            cfg_path = alt
+    with open(cfg_path) as f:
         cfg = TransformerLMConfig(**json.load(f))
     params = load_params_npz(checkpoint)
     return NeuralLMScorer(params, cfg, word_dict, window=window)

@@ -346,14 +346,19 @@ def cmd_train_lm(args) -> None:
     it = iter(data)
     init_batch = next(it)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
+    cfg_json = {k: getattr(cfg, k) for k in (
+        "vocab_size", "embed_dim", "ffn_dim", "layers", "heads",
+        "dropout", "padding_idx", "max_positions", "learned_pos",
+        "normalize_before", "share_input_output_embed")}
     with open(os.path.join(args.checkpoint_dir, "lm_config.json"), "w") as f:
-        json.dump(
-            {k: getattr(cfg, k) for k in (
-                "vocab_size", "embed_dim", "ffn_dim", "layers", "heads",
-                "dropout", "padding_idx", "max_positions", "learned_pos",
-                "normalize_before", "share_input_output_embed")},
-            f,
-        )
+        json.dump(cfg_json, f)
+    if getattr(args, "export_params", None):
+        # decode --decoder neural loads the config from <stem>.json next to
+        # the exported npz (decode/lm_fusion.py:load_neural_lm) — write it
+        # there too so the advertised train-lm -> decode pipeline works
+        # without manual renames.
+        with open(os.path.splitext(args.export_params)[0] + ".json", "w") as f:
+            json.dump(cfg_json, f)
     run_training(
         model, loss_fn, tx, it, init_batch, _loop_cfg(args),
         init_rngs={"params": rng, "dropout": rng},

@@ -46,13 +46,37 @@ class CheckpointManager:
         self.keep_last = keep_last
         self.best_metric = best_metric
         self.maximize_best = maximize_best
+        # a checkpoint saved without the tracked metric (no validation ran
+        # yet) must never win "best": score it as the WORST possible value,
+        # not 0.0 (with best_mode="min" a 0.0 would beat every real loss).
+        worst = float("-inf") if maximize_best else float("inf")
+        sign = 1.0 if maximize_best else -1.0
+        # fairseq keeps the last N update checkpoints AND checkpoint_best
+        # independently (checkpoint_utils.py:120-180). orbax's plain
+        # max_to_keep+best_fn instead keeps the best N — which deletes the
+        # LATEST checkpoint once it is no longer among the best and breaks
+        # resume. The preservation policy below reproduces the fairseq
+        # semantics: latest-N for resume + best-1 for model selection.
+        from orbax.checkpoint import checkpoint_managers as _cm
+
+        _pp = _cm.preservation_policy
+        policy = None
+        if keep_last:
+            keep = [_pp.LatestN(keep_last)]
+            if best_metric:
+                keep.append(_pp.BestN(
+                    get_metric_fn=lambda m: sign * m.get(best_metric, worst),
+                    n=1,
+                    keep_checkpoints_without_metrics=False,
+                ))
+            policy = _pp.AnyPreservationPolicy(keep)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep_last,
                 enable_async_checkpointing=True,
-                best_fn=(lambda m: m.get(best_metric, 0.0)) if best_metric else None,
+                best_fn=(lambda m: m.get(best_metric, worst)) if best_metric else None,
                 best_mode="max" if maximize_best else "min",
+                preservation_policy=policy,
             ),
         )
 
@@ -97,6 +121,11 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        """Step of the best checkpoint by the tracked metric (None if no
+        checkpoint has reported it yet) — the `checkpoint_best` analog."""
+        return self._mgr.best_step()
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

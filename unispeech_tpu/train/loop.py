@@ -121,6 +121,11 @@ def run_training(
 
     step_rng = jax.random.fold_in(rng, 0xBEEF)
     num_updates = int(start_step)
+    # most recent validation metrics; carried forward to EVERY save so
+    # best-checkpoint selection stays meaningful when save/validate
+    # intervals are misaligned (a save without metrics would otherwise be
+    # scored as "no metric" by the manager)
+    last_val_metrics: Optional[Dict[str, float]] = None
     for batch in train_batches:
         if num_updates >= cfg.max_updates:
             break
@@ -160,16 +165,15 @@ def run_training(
                 state, eval_fn, valid_batches_fn(), mesh, cfg.max_valid_steps
             )
             vlogger.log(num_updates, vstats)
-            metrics_for_best = {cfg.best_metric: vstats.get(cfg.best_metric, 0.0)}
-        else:
-            metrics_for_best = None
+            if cfg.best_metric in vstats:
+                last_val_metrics = {cfg.best_metric: float(vstats[cfg.best_metric])}
 
         if cfg.save_interval_updates and num_updates % cfg.save_interval_updates == 0:
             ckpt.save(
                 num_updates,
                 state,
                 data_state=data_obj.state_dict() if data_obj is not None else None,
-                metrics=metrics_for_best,
+                metrics=last_val_metrics,
             )
 
     if hasattr(train_batches, "close"):
@@ -178,6 +182,7 @@ def run_training(
         num_updates,
         state,
         data_state=data_obj.state_dict() if data_obj is not None else None,
+        metrics=last_val_metrics,
     )
     ckpt.wait()
     ckpt.close()
@@ -199,6 +204,7 @@ def group_microbatches(batches: Iterable[Dict], k: int) -> Iterable[Dict]:
     `make_train_step(accum_steps=k)`.
     """
     buffers: Dict = {}
+    n_dropped = 0
     for b in batches:
         key = tuple(sorted((name, v.shape) for name, v in b.items()))
         buf = buffers.setdefault(key, [])
@@ -208,6 +214,18 @@ def group_microbatches(batches: Iterable[Dict], k: int) -> Iterable[Dict]:
                 name: np.stack([mb[name] for mb in buf]) for name in buf[0]
             }
             buffers[key] = []
+    # finite stream ended: per-bucket-shape tails that never filled to k
+    # cannot form a fixed-shape accumulation group — report rather than
+    # silently eat data (on many-bucket finite datasets this adds up)
+    n_dropped = sum(len(buf) for buf in buffers.values())
+    if n_dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "group_microbatches: dropped %d tail micro-batch(es) across %d "
+            "bucket shape(s) that never filled an accumulation group of %d",
+            n_dropped, sum(1 for buf in buffers.values() if buf), k,
+        )
 
 
 def run_validation(state, eval_fn, batches, mesh, max_steps: int = 0) -> Dict:

@@ -36,6 +36,8 @@ class OptimConfig:
     decay_steps: int = 0
     init_lr_scale: float = 0.01
     final_lr_scale: float = 0.05
+    # inverse_sqrt
+    warmup_init_lr: float = 0.0
 
 
 def polynomial_decay_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -83,11 +85,30 @@ def tri_stage_schedule(cfg: OptimConfig) -> optax.Schedule:
     return fn
 
 
+def inverse_sqrt_schedule(cfg: OptimConfig) -> optax.Schedule:
+    """Linear warmup from warmup_init_lr to lr, then lr * sqrt(warmup/step)
+    (src/fairseq/optim/lr_scheduler/inverse_square_root_schedule.py:15-85:
+    decay_factor = lr * sqrt(warmup_updates); lr_t = decay_factor/sqrt(t))."""
+    warmup = max(cfg.warmup_steps, 1)
+    lr_step = (cfg.lr - cfg.warmup_init_lr) / warmup
+    decay_factor = cfg.lr * math.sqrt(warmup)
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = cfg.warmup_init_lr + step * lr_step
+        dec = decay_factor * jax.lax.rsqrt(jnp.maximum(step, 1.0))
+        return jnp.where(step < warmup, warm, dec)
+
+    return fn
+
+
 def make_schedule(cfg: OptimConfig) -> optax.Schedule:
     if cfg.schedule == "polynomial_decay":
         return polynomial_decay_schedule(cfg)
     if cfg.schedule == "tri_stage":
         return tri_stage_schedule(cfg)
+    if cfg.schedule == "inverse_sqrt":
+        return inverse_sqrt_schedule(cfg)
     if cfg.schedule == "fixed":
         return lambda step: jnp.float32(cfg.lr)
     raise ValueError(cfg.schedule)
