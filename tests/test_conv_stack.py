@@ -1,0 +1,147 @@
+"""Correctness of the round-4 fused conv blocks (ops/pallas/conv_stack.py)
+against the XLA reference path (strided_conv1d_as_matmul + exact erf GELU),
+values AND gradients, in Pallas interpret mode on CPU."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unispeech_tpu.models.encoder import strided_conv1d_as_matmul
+from unispeech_tpu.ops.pallas.conv_stack import (
+    conv_gelu_block,
+    dgelu_poly,
+    gelu_poly,
+)
+
+
+def _gelu_exact(x):
+    return jax.nn.gelu(x.astype(jnp.float32), approximate=False)
+
+
+def test_gelu_poly_accuracy():
+    x = jnp.linspace(-8.0, 8.0, 4001, dtype=jnp.float32)
+    # fit err 1.9e-5 on [-4,4]; the clamped tail contributes ~3.2e-5 * |x|
+    np.testing.assert_allclose(
+        np.asarray(gelu_poly(x)), np.asarray(_gelu_exact(x)),
+        atol=2e-4, rtol=1e-4,
+    )
+    dref = jax.vmap(jax.grad(lambda v: _gelu_exact(v).sum()))(x[:, None])[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(dgelu_poly(x)), np.asarray(dref), atol=1e-3
+    )
+
+
+def _ref(x, w, gelu_in, gelu_out):
+    h = _gelu_exact(x).astype(x.dtype) if gelu_in else x
+    y = strided_conv1d_as_matmul(h, w, 2)
+    return _gelu_exact(y).astype(x.dtype) if gelu_out else y
+
+
+@pytest.mark.parametrize("k,T,gelu_in", [
+    (3, 515, False),
+    (3, 515, True),
+    (3, 1024, False),  # window padding exercised on the last tile
+    (2, 512, False),
+])
+def test_block_matches_xla(k, T, gelu_in):
+    B, C = 2, 256
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, T, C), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, C, C), jnp.float32) * 0.05
+
+    y_ref = _ref(x, w, gelu_in, True)
+    t_ref = y_ref.shape[1]
+
+    run = functools.partial(
+        conv_gelu_block, gelu_in=gelu_in, tile=128, interpret=True
+    )
+    y, t_out = run(x, w, valid_len=T)
+    assert t_out == t_ref
+    np.testing.assert_allclose(
+        np.asarray(y[:, :t_out]), np.asarray(y_ref), atol=5e-3
+    )
+    # rows beyond t_out are finite garbage that valid downstream windows
+    # never read (out row i only reads input rows <= 2 i + 2 < t_out)
+    assert np.all(np.isfinite(np.asarray(y[:, t_out:])))
+
+    # gradients
+    def loss_k(x, w):
+        y, t = run(x, w, valid_len=T)
+        return (y[:, :t].astype(jnp.float32) ** 2).sum()
+
+    def loss_r(x, w):
+        return (_ref(x, w, gelu_in, True).astype(jnp.float32) ** 2).sum()
+
+    gx_k, gw_k = jax.grad(loss_k, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss_r, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_r), atol=5e-2, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_k), np.asarray(gw_r), atol=5e-2, rtol=1e-2
+    )
+
+
+def test_chained_blocks_match_xla():
+    """Two chained blocks with NO slicing in between (padded storage rows
+    flow through as zeros) match the sliced XLA reference chain."""
+    B, C, T = 2, 256, 1030
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C), jnp.float32)
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (3, C, C), jnp.float32) * 0.05
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (2, C, C), jnp.float32) * 0.05
+
+    def chain_k(x, w1, w2):
+        y1, t1 = conv_gelu_block(x, w1, valid_len=T, gelu_in=True,
+                                 tile=128, interpret=True)
+        y2, t2 = conv_gelu_block(y1, w2, valid_len=t1, tile=128,
+                                 interpret=True)
+        return y2[:, :t2]
+
+    def chain_r(x, w1, w2):
+        y1 = _ref(x, w1, True, True)
+        return _ref(y1, w2, False, True)
+
+    y_k = chain_k(x, w1, w2)
+    y_r = chain_r(x, w1, w2)
+    assert y_k.shape == y_r.shape
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r), atol=5e-3)
+
+    g_k = jax.grad(lambda *a: (chain_k(*a) ** 2).sum(), argnums=(0, 1, 2))(
+        x, w1, w2
+    )
+    g_r = jax.grad(lambda *a: (chain_r(*a) ** 2).sum(), argnums=(0, 1, 2))(
+        x, w1, w2
+    )
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-2, rtol=1e-2
+        )
+
+
+def test_seed_dropout_matches_mask_semantics():
+    """seed_dropout: grad uses the SAME mask as forward (recomputed from the
+    key), and matches nn.Dropout scaling."""
+    import jax
+
+    from unispeech_tpu.ops.dropout import seed_dropout
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 128), jnp.float32)
+    y = seed_dropout(x, key, 0.3)
+    zeros = np.asarray(y) == 0.0
+    frac = zeros.mean()
+    assert 0.2 < frac < 0.4
+    np.testing.assert_allclose(
+        np.asarray(y)[~zeros], (np.asarray(x) / 0.7)[~zeros], rtol=1e-6
+    )
+    g = jax.grad(lambda v: (seed_dropout(v, key, 0.3) * x).sum())(x)
+    # dy/dx = mask/0.7 -> grad wrt x of sum(y*x) = mask/0.7 * x
+    np.testing.assert_allclose(
+        np.asarray(g), np.where(zeros, 0.0, np.asarray(x) / 0.7), rtol=1e-6
+    )
+    # rate 0 identity
+    np.testing.assert_array_equal(np.asarray(seed_dropout(x, key, 0.0)),
+                                  np.asarray(x))

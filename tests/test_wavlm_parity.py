@@ -228,43 +228,3 @@ def test_expand_attention_head_size():
     out = m.apply(variables, x)
     assert out.x.shape == (2, 37, 64)
     assert np.isfinite(np.asarray(out.x)).all()
-
-
-@pytest.mark.parametrize("gelu_in", [False, True])
-def test_fused_conv_gelu_block_matches_reference(gelu_in):
-    """Pallas gelu->conv(k3,s2)->gelu block (interpret mode) vs the plain
-    composition — values and gradients, ragged T."""
-    from unispeech_tpu.ops.pallas.conv_chain import fused_conv_gelu_block
-
-    rng = jax.random.PRNGKey(3)
-    r1, r2 = jax.random.split(rng)
-    B, T, C = 2, 531, 8
-    x = jax.random.normal(r1, (B, T, C), jnp.float32)
-    w = jax.random.normal(r2, (3, C, C), jnp.float32) * 0.2
-
-    def gelu(v):
-        return jax.nn.gelu(v.astype(jnp.float32), approximate=False).astype(
-            v.dtype
-        )
-
-    def ref(x, w):
-        h = gelu(x) if gelu_in else x
-        y = jax.lax.conv_general_dilated(
-            h, w, window_strides=(2,), padding="VALID",
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
-        return gelu(y)
-
-    fused = lambda x, w: fused_conv_gelu_block(
-        x, w, gelu_in=gelu_in, tile=64, interpret=True
-    )
-    got, want = fused(x, w), ref(x, w)
-    assert got.shape == want.shape == (B, (T - 3) // 2 + 1, C)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-5, atol=2e-5)
-
-    g_got = jax.grad(lambda x, w: (fused(x, w) ** 2).sum(), argnums=(0, 1))(x, w)
-    g_want = jax.grad(lambda x, w: (ref(x, w) ** 2).sum(), argnums=(0, 1))(x, w)
-    for a, b in zip(g_got, g_want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-4)

@@ -101,13 +101,13 @@ class EncoderConfig:
     # q-stripe rows per kernel iteration (micro-bench: 256 beats 128 by
     # ~10% at Base shapes; VMEM-checked at runtime)
     attention_q_tile: int = 256
-    # Fused gelu->conv(k3,s2)->gelu Pallas blocks for the 512-channel
-    # frontend layers (ops/pallas/conv_chain.py). Default OFF: the kernel
-    # itself wins, but the XLA-side even/odd phase-split views cost more in
-    # relayout copies than the fusion saves (round-3 trace: +11 ms copies
-    # vs -8 ms conv at Base bench shapes). Groundwork for an in-kernel
-    # deinterleave variant.
-    use_fused_conv: bool = False
+    # Fused (gelu->)conv(k in {2,3}, s=2)->gelu Pallas blocks for the
+    # 512-channel frontend layers (ops/pallas/conv_stack.py). The round-4
+    # kernels deinterleave IN-KERNEL via a lane-collapse reshape, so the
+    # whole L1..L6 chain runs back-to-back with no XLA ops in between:
+    # chain fwd+bwd 15.6 ms vs 26.3 ms for the XLA stride-collapsed matmul
+    # path at Base bench shapes (scripts/exp_conv_stack_tpu.py). TPU only.
+    use_fused_conv: bool = True
 
     # Stack the transformer layers with nn.scan (single compiled layer body,
     # params get a leading L axis) and rematerialize activations inside each

@@ -234,24 +234,17 @@ class Conv1dMM(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h: jax.Array, fused_gelu: Optional[str] = None) -> jax.Array:
+    def __call__(self, h: jax.Array, kernel_only: bool = False):
         kernel = self.param(
             "kernel",
             nn.initializers.he_normal(),
             (self.kernel_size, h.shape[-1], self.features),
             jnp.float32,
         )
-        if fused_gelu is not None:
-            # TPU path: whole gelu->conv->gelu stage in one Pallas block
-            # (ops/pallas/conv_chain.py); k==3, s==2, no bias only
-            from unispeech_tpu.ops.pallas.conv_chain import (
-                fused_conv_gelu_block,
-            )
-
-            return fused_conv_gelu_block(
-                h.astype(self.dtype), kernel,
-                gelu_in=(fused_gelu == "in_out"),
-            )
+        if kernel_only:
+            # fused-chain mode (ConvFeatureExtractor): the caller feeds the
+            # kernel to the Pallas block chain (ops/pallas/conv_stack.py)
+            return kernel
         y = strided_conv1d_as_matmul(h.astype(self.dtype), kernel, self.stride)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -278,8 +271,12 @@ class ConvFeatureExtractor(nn.Module):
         h = x[:, :, None].astype(self.dtype)  # (B, T, 1)
         mode = self.cfg.extractor_mode
         layers = self.cfg.conv_layers
-        # which layers run as fused Pallas gelu->conv->gelu blocks: the
-        # 512-channel (k=3, s=2) stages of "default" mode, on TPU only
+        # which layers run as fused Pallas (gelu->)conv->gelu blocks
+        # (ops/pallas/conv_stack.py): the same-width (k in {2,3}, s=2)
+        # stages of "default" mode, on TPU only. Consecutive fused layers
+        # chain with NO intermediate XLA ops (padded storage rows flow
+        # through; the valid length is tracked statically and sliced once
+        # when leaving the chain).
         can_fuse = (
             self.cfg.use_fused_conv
             and mode == "default"
@@ -290,13 +287,16 @@ class ConvFeatureExtractor(nn.Module):
             bool(
                 can_fuse
                 and i > 0
-                and k == 3
+                and k in (2, 3)
                 and s == 2
                 and layers[i - 1][0] == dim
             )
             for i, (dim, k, s) in enumerate(layers)
         ]
         pending_gelu = False  # previous layer's gelu deferred into the block
+        t_valid = None  # valid rows of h while inside a fused chain
+        from unispeech_tpu.ops.pallas.conv_stack import conv_gelu_block
+
         for i, (dim, k, stride) in enumerate(layers):
             conv = Conv1dMM(
                 features=dim,
@@ -307,8 +307,17 @@ class ConvFeatureExtractor(nn.Module):
                 name=f"conv_{i}",
             )
             if fuse[i]:
-                h = conv(h, fused_gelu="in_out" if pending_gelu else "out")
+                kernel = conv(h, kernel_only=True)
+                if t_valid is None:
+                    t_valid = h.shape[1]
+                h, t_valid = conv_gelu_block(
+                    h, kernel.astype(self.dtype), valid_len=t_valid,
+                    gelu_in=pending_gelu,
+                )
                 pending_gelu = False
+                if i + 1 == len(layers) or not fuse[i + 1]:
+                    h = h[:, :t_valid]  # leave the fused chain
+                    t_valid = None
                 continue
             h = conv(h)
             if mode == "layer_norm":
@@ -538,11 +547,16 @@ class TransformerEncoderLayer(nn.Module):
         cfg = self.cfg
         deterministic = self.deterministic
         act = get_activation(cfg.activation_fn)
-        drop = lambda rate, h: (
-            h
-            if deterministic or rate == 0.0
-            else nn.Dropout(rate=rate, deterministic=False)(h)
-        )
+
+        def drop(rate, h):
+            if deterministic or rate == 0.0:
+                return h
+            # seed-recompute dropout: under nn.scan the stock nn.Dropout
+            # stores an (L, B, T, D) bool mask residual per site
+            # (ops/dropout.py)
+            from unispeech_tpu.ops.dropout import seed_dropout
+
+            return seed_dropout(h, self.make_rng("dropout"), rate)
         attn = lambda h: SelfAttention(cfg, dtype=self.dtype, name="self_attn")(
             h, position_bias, key_padding_mask, deterministic, attn_mask
         )
