@@ -40,7 +40,7 @@ Dtype = Any
 
 
 @jax.checkpoint
-def gelu_fp32(x: jax.Array) -> jax.Array:
+def _gelu_erf_fp32(x: jax.Array) -> jax.Array:
     """Exact (erf) GELU computed in fp32, like reference `gelu`
     (/root/reference/WavLM/modules.py:140-141).
 
@@ -50,6 +50,39 @@ def gelu_fp32(x: jax.Array) -> jax.Array:
     round-3 device trace). Recomputing the cast+erf in backward is ~20x
     cheaper than the HBM round-trip."""
     return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _gelu_poly_fp32(x: jax.Array) -> jax.Array:
+    from unispeech_tpu.ops.pallas.conv_stack import gelu_poly
+
+    return gelu_poly(x).astype(x.dtype)
+
+
+def _gelu_poly_fwd(x):
+    return _gelu_poly_fp32(x), x
+
+
+def _gelu_poly_bwd(x, g):
+    from unispeech_tpu.ops.pallas.conv_stack import dgelu_poly
+
+    return ((dgelu_poly(x) * g.astype(jnp.float32)).astype(x.dtype),)
+
+
+_gelu_poly_fp32.defvjp(_gelu_poly_fwd, _gelu_poly_bwd)
+
+
+def gelu_fp32(x: jax.Array) -> jax.Array:
+    """fp32-island GELU. On TPU: the clamped degree-8 polynomial from the
+    conv kernels (max err 2e-4, far below bf16 noise) — XLA lowers exact
+    erf-gelu via `erfc` with fp32 intermediates AND bit-packs a sign
+    predicate residual per FFN (the u8[768,3072] fusion in the round-4
+    trace, ~1.8 ms/step); the polynomial path is pure mul/add with the
+    bf16 input as its only residual. Off TPU: exact erf for fp32 parity
+    tests against the torch oracle."""
+    if _on_tpu():
+        return _gelu_poly_fp32(x)
+    return _gelu_erf_fp32(x)
 
 
 def gelu_accurate(x: jax.Array) -> jax.Array:
