@@ -401,6 +401,13 @@ class PosConv(nn.Module):
         w = (g[:, None, None] / jnp.maximum(norm, 1e-12)) * v  # (K, Cin/G, C)
         b = self.param("b", nn.initializers.zeros, (C,), jnp.float32)
 
+        # NOTE(round 4): a Pallas phase-collapsed grouped-conv kernel was
+        # built and parity-tested here, but the 48-channel groups defeat the
+        # 128-lane MXU/VPU tiling from every angle tried (lane-padding to
+        # 128 costs 2.67x FLOPs; per-phase splits degrade into ~256 tiny
+        # matmuls/program; block-Toeplitz packing doubles FLOPs again) and
+        # it never beat XLA's grouped conv (kernel 10.0 ms vs XLA 5.8 ms
+        # fwd+bwd at Base bench shapes) — XLA keeps this op.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             w.astype(self.dtype),

@@ -346,7 +346,7 @@ def conv_gelu_block(
     valid_len: int,  # number of valid rows in x (Ts >= valid_len)
     gelu_in: bool = False,
     gelu_out: bool = True,
-    tile: int = 256,
+    tile: int = 512,  # tile sweep at Base bench shapes: 512 > 384 > 256
     interpret: bool = False,
 ):
     """One fused frontend stage: y = gelu?(conv_{k,s=2}(gelu_in?(x))).
