@@ -145,3 +145,76 @@ def test_ctc_train_step_reduces_loss():
         losses.append(float(m["loss"]) / float(m["sample_size"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_finetune_cli_valid_wer_drives_best_checkpoint(tmp_path):
+    """finetune-ctc with --valid-manifest/--valid-transcripts computes
+    valid-time greedy WER/UER (reference ctc.py:161-233) and --best-metric
+    wer drives checkpoint selection (best_checkpoint_metric=wer)."""
+    import contextlib
+    import io
+    import json
+    import wave
+
+    def write_wav(path, samples, rate=16000):
+        pcm = np.clip(samples * 32767, -32768, 32767).astype(np.int16)
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+
+    rngnp = np.random.default_rng(0)
+    rows = []
+    sizes = [2000, 2100, 2200, 2300, 2000, 2100, 2200, 2300]
+    for i, n in enumerate(sizes):
+        write_wav(tmp_path / f"u{i}.wav", rngnp.standard_normal(n) * 0.1)
+        rows.append(f"u{i}.wav\t{n}")
+    (tmp_path / "train.tsv").write_text(f"{tmp_path}\n" + "\n".join(rows) + "\n")
+    (tmp_path / "train.ltr").write_text(
+        "A |\nB A |\nA B |\nB |\nA |\nB A |\nA B |\nB |\n")
+
+    from unispeech_tpu.train.__main__ import main as train_main
+
+    enc_json = (
+        '{"encoder_layers": 2, "encoder_embed_dim": 64, '
+        '"encoder_ffn_embed_dim": 128, "encoder_attention_heads": 4, '
+        '"conv_layers": [[32, 10, 5], [32, 3, 2]], "conv_pos": 16, '
+        '"conv_pos_groups": 4, "num_buckets": 32, "max_distance": 64}'
+    )
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        train_main([
+            "finetune-ctc",
+            "--manifest", str(tmp_path / "train.tsv"),
+            "--transcripts", str(tmp_path / "train.ltr"),
+            "--valid-manifest", str(tmp_path / "train.tsv"),
+            "--valid-transcripts", str(tmp_path / "train.ltr"),
+            "--best-metric", "wer",
+            "--max-updates", "3",
+            "--save-interval-updates", "3",
+            "--validate-interval-updates", "2",
+            "--max-tokens", "30000",
+            "--min-sample-size", "1000",
+            "--num-buckets", "2",
+            "--warmup-steps", "2",
+            "--freeze-finetune-updates", "0",
+            "--log-interval", "10",
+            "--encoder-json", enc_json,
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ])
+    valid_lines = [
+        json.loads(l) for l in err.getvalue().splitlines()
+        if l.startswith("{") and '"tag": "valid"' in l
+    ]
+    assert valid_lines, "expected a valid log line"
+    assert "wer" in valid_lines[-1] and "uer" in valid_lines[-1]
+    assert 0.0 <= valid_lines[-1]["wer"]
+
+    # the step-3 save (validate interval 2 -> last metrics from step 2)
+    # carries the WER and is marked best
+    from unispeech_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), best_metric="wer")
+    assert mgr.best_step() == 3
+    mgr.close()

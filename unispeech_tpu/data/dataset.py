@@ -336,3 +336,36 @@ class FinetuneIterator(PretrainIterator):
         batch["labels"] = labels
         batch["label_lengths"] = lab_len
         return batch
+
+
+class Seq2SeqIterator(FinetuneIterator):
+    """Audio + teacher-forced token batches for seq2seq ASR fine-tuning.
+
+    Adds to each batch: `prev_tokens` (B, S) = eos-shifted targets (fairseq
+    conditions on </s> as bos: collate's move_eos_to_beginning,
+    /root/reference/src/fairseq/data/data_utils.py:38-57), `targets` (B, S)
+    = tokens + eos (pad after), and `target_mask` (B, S) in {0, 1}.
+    """
+
+    def _collate(self, idx, epoch, bi):
+        batch = super()._collate(idx, epoch, bi)
+        labels = batch.pop("labels")
+        lab_len = batch.pop("label_lengths")
+        B, S = labels.shape
+        S2 = int(np.ceil((S + 1) / 8) * 8)
+        eos = self.dictionary.eos()
+        pad = self.dictionary.pad()
+        tgt = np.full((B, S2), pad, np.int32)
+        prev = np.full((B, S2), pad, np.int32)
+        mask = np.zeros((B, S2), np.float32)
+        for r in range(B):
+            L = int(lab_len[r])
+            tgt[r, :L] = labels[r, :L]
+            tgt[r, L] = eos
+            prev[r, 0] = eos
+            prev[r, 1 : L + 1] = labels[r, :L]
+            mask[r, : L + 1] = 1.0
+        batch["targets"] = tgt
+        batch["prev_tokens"] = prev
+        batch["target_mask"] = mask
+        return batch

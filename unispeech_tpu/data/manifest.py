@@ -147,11 +147,14 @@ def read_stored_slice(file_path: str, offset: int, length: int) -> bytes:
         return f.read(length)
 
 
-def load_audio(path: str, expected_rate: Optional[int] = 16000) -> np.ndarray:
+def load_audio(path: str, expected_rate: Optional[int] = 16000,
+               return_rate: bool = False):
     """Load mono fp32 waveform in [-1, 1].
 
     Accepts plain audio paths and "zip:offset:length" stored-zip slices
-    (the reference's sharded-corpus format)."""
+    (the reference's sharded-corpus format). With return_rate=True returns
+    (wav, sample_rate) and skips the expected-rate check (data-prep
+    resampling path)."""
     file_path, slc = parse_path(path)
     sf = _soundfile()
     if slc is not None:
@@ -174,9 +177,12 @@ def load_audio(path: str, expected_rate: Optional[int] = 16000) -> np.ndarray:
             wav, sr = sf.read(io.BytesIO(data), dtype="float32")
             if wav.ndim > 1:
                 wav = wav.mean(axis=-1)
+        wav = np.ascontiguousarray(wav, dtype=np.float32)
+        if return_rate:
+            return wav, sr
         if expected_rate is not None and sr != expected_rate:
             raise ValueError(f"{path}: rate {sr} != expected {expected_rate}")
-        return np.ascontiguousarray(wav, dtype=np.float32)
+        return wav
     path = file_path
     if sf is not None:
         wav, sr = sf.read(path, dtype="float32")
@@ -192,6 +198,9 @@ def load_audio(path: str, expected_rate: Optional[int] = 16000) -> np.ndarray:
             if w.getnchannels() > 1:
                 raw = raw.reshape(-1, w.getnchannels()).mean(axis=-1)
             wav = raw.astype(np.float32) / 32768.0
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    if return_rate:
+        return wav, sr
     if expected_rate is not None and sr != expected_rate:
         raise ValueError(f"{path}: sample rate {sr} != expected {expected_rate}")
-    return np.ascontiguousarray(wav, dtype=np.float32)
+    return wav

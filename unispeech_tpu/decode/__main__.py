@@ -40,8 +40,16 @@ def _parse_args(argv=None):
     p.add_argument("--encoder-json", default=None,
                    help="JSON dict of EncoderConfig field overrides (e.g. "
                         "toy shapes for smoke tests)")
-    p.add_argument("--decoder", choices=["viterbi", "beam", "kenlm", "neural"],
+    p.add_argument("--decoder",
+                   choices=["viterbi", "beam", "kenlm", "neural", "seq2seq"],
                    default="viterbi")
+    p.add_argument("--decoder-json", default=None,
+                   help="(--decoder seq2seq) JSON dict of "
+                        "Seq2SeqDecoderConfig overrides")
+    p.add_argument("--seq2seq-beam", type=int, default=5)
+    p.add_argument("--max-decode-len", type=int, default=200)
+    p.add_argument("--len-penalty", type=float, default=1.0)
+    p.add_argument("--no-repeat-ngram", type=int, default=0)
     p.add_argument("--beam", type=int, default=50)
     p.add_argument("--beam-threshold", type=float, default=25.0)
     p.add_argument("--lexicon", default=None,
@@ -143,8 +151,130 @@ def plan_eval_batches(
     return [np.asarray(b) for b in batches]
 
 
+def run_seq2seq(args) -> None:
+    """Offline seq2seq (attention decoder) evaluation: batched beam search
+    with length penalty + no-repeat-ngram, WER report — the seq2seq side of
+    the reference eval surface (Wav2Vec2Seq2SeqModel decoded by fairseq's
+    SequenceGenerator, /root/reference/src/fairseq/sequence_generator.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unispeech_tpu.configs import base_encoder_config, large_encoder_config
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.manifest import Manifest, load_audio
+    from unispeech_tpu.decode.wer import WerScorer, post_process
+    from unispeech_tpu.models.seq2seq import (
+        Seq2SeqConfig,
+        Seq2SeqDecoderConfig,
+        Seq2SeqModel,
+        beam_decode,
+    )
+    from unispeech_tpu.train.checkpoint import load_params_npz
+
+    d = Dictionary.load(args.dict) if args.dict else Dictionary.letters()
+    enc_fn = base_encoder_config if args.arch == "base" else large_encoder_config
+    enc = enc_fn(
+        relative_position_embedding=not args.no_rel_pos,
+        gru_rel_pos=not args.no_rel_pos,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        encoder_layerdrop=0.0,
+    )
+    import dataclasses
+
+    if args.encoder_json:
+        over = json.loads(args.encoder_json)
+        if "conv_layers" in over:
+            over["conv_layers"] = tuple(tuple(c) for c in over["conv_layers"])
+        enc = dataclasses.replace(enc, **over)
+    dec = Seq2SeqDecoderConfig(vocab_size=len(d), padding_idx=d.pad())
+    if args.decoder_json:
+        dec = dataclasses.replace(dec, **json.loads(args.decoder_json))
+    cfg = Seq2SeqConfig(encoder=enc, decoder=dec, apply_mask=False)
+    model = Seq2SeqModel(cfg, dtype=jnp.bfloat16)
+    params = load_params_npz(args.checkpoint)
+    eos = d.eos()
+
+    @jax.jit
+    def decode(source, lengths):
+        return beam_decode(
+            model, {"params": params}, source, lengths, eos, eos,
+            beam_size=args.seq2seq_beam, max_len=args.max_decode_len,
+            len_penalty=args.len_penalty,
+            no_repeat_ngram=args.no_repeat_ngram,
+        )
+
+    man = Manifest.load(args.manifest)
+    sizes = np.asarray(man.sizes)
+    lo, hi = int(sizes.min()), int(sizes.max())
+    buckets = [lo]
+    while buckets[-1] < hi:
+        buckets.append(int(np.ceil(buckets[-1] * 1.3 / 320) * 320))
+    buckets = np.asarray(buckets)
+    batches = plan_eval_batches(sizes, args.max_tokens, args.batch_size,
+                                buckets)
+    refs = None
+    if args.transcripts:
+        refs = open(args.transcripts).read().splitlines()
+        assert len(refs) == len(man)
+
+    scorer = WerScorer()
+    hypo_word_f = None
+    if args.results_path:
+        os.makedirs(args.results_path, exist_ok=True)
+        hypo_word_f = open(os.path.join(args.results_path, "hypo.word"), "w")
+
+    t0 = time.perf_counter()
+    total_audio = 0.0
+    n_done = 0
+    for batch_idx in batches:
+        wavs = [load_audio(man.abspath(int(i)), 16_000) for i in batch_idx]
+        if args.normalize:
+            wavs = [(w - w.mean()) / np.sqrt(w.var() + 1e-5) for w in wavs]
+        lengths = np.asarray([len(w) for w in wavs], dtype=np.int32)
+        Tb = int(buckets[np.searchsorted(buckets, lengths.max())])
+        source = np.zeros((len(wavs), Tb), dtype=np.float32)
+        for r, w in enumerate(wavs):
+            source[r, : len(w)] = w
+        total_audio += float(lengths.sum()) / 16_000.0
+        toks, _ = decode(jnp.asarray(source), jnp.asarray(lengths))
+        toks = np.asarray(toks)[:, 0]  # best beam
+        for r, i in enumerate(batch_idx):
+            ids = []
+            for t in toks[r].tolist():
+                if t == eos:
+                    break
+                ids.append(t)
+            hyp = post_process(d.string(ids), args.post_process)
+            if hypo_word_f:
+                hypo_word_f.write(f"{hyp} ({i})\n")
+            if refs is not None:
+                ref = post_process(refs[int(i)], args.post_process)
+                scorer.add(hyp, ref)
+            n_done += 1
+    if hypo_word_f:
+        hypo_word_f.close()
+
+    dt = time.perf_counter() - t0
+    report = {
+        "utterances": n_done,
+        "audio_sec": round(total_audio, 1),
+        "rtf_inv": round(total_audio / dt, 1),
+    }
+    if refs is not None:
+        report["wer"] = round(scorer.wer, 4)
+        report["uer"] = round(scorer.uer, 4)
+    print(json.dumps(report))
+    if args.results_path:
+        with open(os.path.join(args.results_path, "wer_report.json"), "w") as f:
+            json.dump(report, f, indent=1)
+
+
 def main(argv=None) -> None:
     args = _parse_args(argv)
+
+    if args.decoder == "seq2seq":
+        run_seq2seq(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -79,7 +79,9 @@ def _loop_cfg(args):
         max_updates=args.max_updates,
         log_interval=args.log_interval,
         save_interval_updates=args.save_interval_updates,
-        validate_interval_updates=args.save_interval_updates,
+        validate_interval_updates=getattr(
+            args, "validate_interval_updates", None
+        ) or args.save_interval_updates,
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
         n_model=args.n_model,
@@ -87,6 +89,7 @@ def _loop_cfg(args):
         tensorboard_dir=args.tensorboard_dir,
         accum_steps=args.accum_steps,
         export_params=getattr(args, "export_params", None),
+        best_metric=getattr(args, "best_metric", None) or "loss_avg",
     )
 
 
@@ -294,10 +297,142 @@ def cmd_finetune_ctc(args) -> None:
         pre = load_params_npz(args.w2v_path)
         init_params = load_pretrained_into(variables["params"], pre)
 
+    # dev-set decode-and-score every validation pass (reference computes
+    # UER/WER inside the CTC criterion and selects checkpoints by WER:
+    # ctc.py:161-233, examples/hubert/scripts/finetune.sh)
+    valid_kw = {}
+    if args.valid_manifest and args.valid_transcripts:
+        from unispeech_tpu.train.tasks import make_ctc_valid_decode_fn
+
+        vman = Manifest.load(args.valid_manifest)
+        vtexts = open(args.valid_transcripts).read().splitlines()
+
+        def valid_batches_fn():
+            vdata = FinetuneIterator(
+                vman, _data_cfg(args), vtexts, d, seed=args.seed,
+                num_shards=jax.process_count(),
+                shard_id=jax.process_index(),
+            )
+            return vdata.epoch_batches(1)
+
+        valid_kw = dict(
+            valid_batches_fn=valid_batches_fn,
+            eval_loss_fn=make_ctc_finetune_loss_fn(model, deterministic=True),
+            valid_decode_fn=make_ctc_valid_decode_fn(
+                model, d, post_process_symbol=args.post_process
+            ),
+        )
+
     run_training(
         model, loss_fn, tx, iter(data), init_batch, _loop_cfg(args),
         init_rngs={"params": rng, "mask": rng, "dropout": rng},
-        data_state=data, init_params=init_params,
+        data_state=data, init_params=init_params, **valid_kw,
+    )
+
+
+def cmd_finetune_seq2seq(args) -> None:
+    """Seq2seq ASR fine-tune (reference Wav2Vec2Seq2SeqModel,
+    /root/reference/src/fairseq/models/wav2vec/wav2vec2_asr.py:267-658,
+    trained with label_smoothed_cross_entropy; valid WER via greedy decode
+    per tasks/audio_pretraining.py:361-394)."""
+    import dataclasses
+
+    from unispeech_tpu.configs import MaskConfig
+    from unispeech_tpu.data.dataset import Seq2SeqIterator
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.manifest import Manifest
+    from unispeech_tpu.models.ctc import load_pretrained_into
+    from unispeech_tpu.models.seq2seq import (
+        Seq2SeqConfig,
+        Seq2SeqDecoderConfig,
+        Seq2SeqModel,
+    )
+    from unispeech_tpu.train.checkpoint import load_params_npz
+    from unispeech_tpu.train.loop import run_training
+    from unispeech_tpu.train.optim import OptimConfig, make_optimizer
+    from unispeech_tpu.train.tasks import (
+        make_seq2seq_loss_fn,
+        make_seq2seq_valid_decode_fn,
+    )
+
+    d = Dictionary.load(args.dict) if args.dict else Dictionary.letters()
+    enc = _encoder(
+        args, relative_position_embedding=not args.no_rel_pos,
+        gru_rel_pos=not args.no_rel_pos,
+    )
+    dec = Seq2SeqDecoderConfig(
+        vocab_size=len(d),
+        embed_dim=args.decoder_embed_dim,
+        ffn_embed_dim=args.decoder_ffn_dim,
+        layers=args.decoder_layers,
+        heads=args.decoder_heads,
+        padding_idx=d.pad(),
+    )
+    if args.decoder_json:
+        dec = dataclasses.replace(dec, **json.loads(args.decoder_json))
+    cfg = Seq2SeqConfig(
+        encoder=enc,
+        decoder=dec,
+        apply_mask=True,
+        time_mask=MaskConfig(mask_prob=args.mask_prob, mask_length=10),
+        freeze_finetune_updates=args.freeze_finetune_updates,
+    )
+    model = Seq2SeqModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    man = Manifest.load(args.manifest)
+    texts = open(args.transcripts).read().splitlines()
+    data = Seq2SeqIterator(
+        man, _data_cfg(args), texts, d, seed=args.seed,
+        num_shards=jax.process_count(), shard_id=jax.process_index(),
+    )
+    loss_fn = make_seq2seq_loss_fn(model, label_smoothing=args.label_smoothing)
+    tx = make_optimizer(
+        OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
+                    total_steps=args.max_updates, clip_norm=args.clip_norm,
+                    schedule="tri_stage", hold_steps=args.max_updates * 4 // 10)
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    init_batch = next(iter(data.epoch_batches(1)))
+
+    init_params = None
+    if args.w2v_path:
+        variables = model.init(
+            {"params": rng, "mask": rng, "dropout": rng},
+            init_batch["source"][:1],
+            init_batch["prev_tokens"][:1],
+            deterministic=True,
+        )
+        pre = load_params_npz(args.w2v_path)
+        init_params = load_pretrained_into(variables["params"], pre)
+
+    valid_kw = {}
+    if args.valid_manifest and args.valid_transcripts:
+        vman = Manifest.load(args.valid_manifest)
+        vtexts = open(args.valid_transcripts).read().splitlines()
+
+        def valid_batches_fn():
+            vdata = Seq2SeqIterator(
+                vman, _data_cfg(args), vtexts, d, seed=args.seed,
+                num_shards=jax.process_count(),
+                shard_id=jax.process_index(),
+            )
+            return vdata.epoch_batches(1)
+
+        valid_kw = dict(
+            valid_batches_fn=valid_batches_fn,
+            eval_loss_fn=make_seq2seq_loss_fn(
+                model, label_smoothing=args.label_smoothing,
+                deterministic=True,
+            ),
+            valid_decode_fn=make_seq2seq_valid_decode_fn(
+                model, d, max_len=args.valid_decode_max_len,
+                post_process_symbol=args.post_process,
+            ),
+        )
+
+    run_training(
+        model, loss_fn, tx, iter(data), init_batch, _loop_cfg(args),
+        init_rngs={"params": rng, "mask": rng, "dropout": rng},
+        data_state=data, init_params=init_params, **valid_kw,
     )
 
 
@@ -414,7 +549,41 @@ def main(argv=None) -> None:
     fc.add_argument("--mask-prob", type=float, default=0.65)
     fc.add_argument("--freeze-finetune-updates", type=int, default=10_000)
     fc.add_argument("--no-rel-pos", action="store_true")
+    fc.add_argument("--valid-transcripts", default=None,
+                    help="dev transcripts (with --valid-manifest enables "
+                         "valid-time greedy WER/UER scoring)")
+    fc.add_argument("--best-metric", default="loss_avg",
+                    choices=["loss_avg", "wer", "uer"],
+                    help="checkpoint-selection metric (reference "
+                         "best_checkpoint_metric=wer)")
+    fc.add_argument("--post-process", default="letter",
+                    help="hyp/ref detokenization rule")
+    fc.add_argument("--validate-interval-updates", type=int, default=None)
     fc.set_defaults(fn=cmd_finetune_ctc)
+
+    fs = sub.add_parser("finetune-seq2seq")
+    _common(fs)
+    fs.add_argument("--transcripts", required=True,
+                    help="one letter-format line per manifest row")
+    fs.add_argument("--dict", default=None)
+    fs.add_argument("--w2v-path", default=None, help="pretrained params .npz")
+    fs.add_argument("--mask-prob", type=float, default=0.5)
+    fs.add_argument("--freeze-finetune-updates", type=int, default=10_000)
+    fs.add_argument("--no-rel-pos", action="store_true")
+    fs.add_argument("--label-smoothing", type=float, default=0.1)
+    fs.add_argument("--decoder-embed-dim", type=int, default=768)
+    fs.add_argument("--decoder-ffn-dim", type=int, default=3072)
+    fs.add_argument("--decoder-layers", type=int, default=6)
+    fs.add_argument("--decoder-heads", type=int, default=4)
+    fs.add_argument("--decoder-json", default=None,
+                    help="JSON dict of Seq2SeqDecoderConfig overrides")
+    fs.add_argument("--valid-transcripts", default=None)
+    fs.add_argument("--valid-decode-max-len", type=int, default=128)
+    fs.add_argument("--best-metric", default="loss_avg",
+                    choices=["loss_avg", "wer", "uer"])
+    fs.add_argument("--post-process", default="letter")
+    fs.add_argument("--validate-interval-updates", type=int, default=None)
+    fs.set_defaults(fn=cmd_finetune_seq2seq)
 
     lm = sub.add_parser("train-lm")
     lm.add_argument("--corpus", required=True, help="tokenized text file")

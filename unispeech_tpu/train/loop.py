@@ -68,6 +68,7 @@ def run_training(
     init_rngs: Dict[str, jax.Array],
     valid_batches_fn: Optional[Callable[[], Iterable[Dict]]] = None,
     eval_loss_fn=None,
+    valid_decode_fn=None,  # (state, batch) -> {metric: sum} (e.g. WER sums)
     data_state: Optional[Dict] = None,  # iterator with state_dict/load_state_dict
     init_params=None,  # warm-start params (e.g. grafted pretrain weights)
 ) -> TrainState:
@@ -162,7 +163,8 @@ def run_training(
             and eval_fn is not None
         ):
             vstats = run_validation(
-                state, eval_fn, valid_batches_fn(), mesh, cfg.max_valid_steps
+                state, eval_fn, valid_batches_fn(), mesh, cfg.max_valid_steps,
+                decode_fn=valid_decode_fn,
             )
             vlogger.log(num_updates, vstats)
             if cfg.best_metric in vstats:
@@ -228,14 +230,32 @@ def group_microbatches(batches: Iterable[Dict], k: int) -> Iterable[Dict]:
         )
 
 
-def run_validation(state, eval_fn, batches, mesh, max_steps: int = 0) -> Dict:
+def run_validation(state, eval_fn, batches, mesh, max_steps: int = 0,
+                   decode_fn=None) -> Dict:
+    """Aggregate eval-loss metrics and (optionally) decode-and-score stats.
+
+    `decode_fn(state, batch) -> {metric: sum}` is the hook for valid-time
+    greedy WER/UER (the reference computes dev UER/WER inside the CTC
+    criterion, /root/reference/src/fairseq/criterions/ctc.py:161-233, and
+    selects checkpoints with best_checkpoint_metric=wer); error/length SUMS
+    aggregate across batches and the ratios are derived at snapshot."""
     agg = MetricsAggregator()
+    agg.add_derived(
+        "wer", lambda s: 100.0 * s["wer_errs"] / max(s["wer_len"], 1)
+    )
+    agg.add_derived(
+        "uer", lambda s: 100.0 * s["uer_errs"] / max(s["uer_len"], 1)
+    )
     rng = jax.random.PRNGKey(0)
     for i, batch in enumerate(batches):
         if max_steps and i >= max_steps:
             break
-        sharded = shard_batch(_as_device_batch(batch), mesh)
-        agg.update(eval_fn(state, sharded, rng))
+        device_batch = _as_device_batch(batch)
+        sharded = shard_batch(device_batch, mesh)
+        metrics = dict(eval_fn(state, sharded, rng))
+        if decode_fn is not None:
+            metrics.update(decode_fn(state, sharded))
+        agg.update(metrics)
     return agg.snapshot()
 
 
@@ -247,7 +267,9 @@ def _init_kwargs(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
     if "tokens" in batch:  # language-modeling batches
         return {"tokens": jnp.asarray(batch["tokens"][:1])}
     kw: Dict[str, Any] = {"source": jnp.asarray(batch["source"][:1])}
-    if "targets" in batch:
+    if "prev_tokens" in batch:  # seq2seq batches (teacher forcing)
+        kw["prev_tokens"] = jnp.asarray(batch["prev_tokens"][:1])
+    elif "targets" in batch:
         kw["targets"] = jnp.asarray(batch["targets"][:1])
     if "lengths" in batch:
         kw["lengths"] = jnp.asarray(batch["lengths"][:1])

@@ -112,13 +112,14 @@ def make_wav2vec2_loss_fn(
     return loss_fn
 
 
-def make_ctc_finetune_loss_fn(model: CtcFinetuneModel):
+def make_ctc_finetune_loss_fn(model: CtcFinetuneModel, deterministic=False):
     """CTC fine-tuning objective (src/fairseq/criterions/ctc.py:113-160).
 
     batch: {"source" (B,n), "lengths" (B,), "labels" (B,S) pad=dict.pad,
             "label_lengths" (B,)}. sample_size = B (ctc criterion's
     sentence_avg=False uses ntokens; pretrain recipes normalize per sample —
     we report both and normalize by ntokens like the reference default).
+    `deterministic=True` builds the eval-loss variant (no dropout/masking).
     """
 
     def loss_fn(params, batch, rng, step):
@@ -126,7 +127,7 @@ def make_ctc_finetune_loss_fn(model: CtcFinetuneModel):
             {"params": params},
             batch["source"],
             batch.get("lengths"),
-            deterministic=False,
+            deterministic=deterministic,
             step=step,
             rngs=split_rngs(rng),
         )
@@ -148,7 +149,62 @@ def make_ctc_finetune_loss_fn(model: CtcFinetuneModel):
     return loss_fn
 
 
-def make_seq2seq_loss_fn(model, label_smoothing: float = 0.1):
+def make_ctc_valid_decode_fn(model, dictionary, post_process_symbol="letter"):
+    """Valid-time greedy CTC decode + WER/UER scoring, mirroring the dev
+    scoring inside the reference CTC criterion
+    (/root/reference/src/fairseq/criterions/ctc.py:161-233) that drives
+    `best_checkpoint_metric=wer` in every fine-tune recipe.
+
+    Returns (state, batch) -> {"wer_errs", "wer_len", "uer_errs",
+    "uer_len"} error/length SUMS for MetricsAggregator; run_validation
+    derives the percentages."""
+    from unispeech_tpu.decode.beam import best_path_decode
+    from unispeech_tpu.decode.wer import WerScorer, post_process
+
+    import numpy as np
+
+    @jax.jit
+    def greedy(params, source, lengths):
+        out = model.apply(
+            {"params": params}, source, lengths, deterministic=True
+        )
+        return jnp.argmax(out.logits, axis=-1), out.frame_lengths
+
+    blank = dictionary.blank()
+
+    def decode_fn(state, batch):
+        ids, flens = greedy(
+            state.params, batch["source"], batch.get("lengths")
+        )
+        ids = np.asarray(ids)
+        flens = np.asarray(flens)
+        labels = np.asarray(batch["labels"])
+        label_lengths = np.asarray(batch["label_lengths"])
+        sc = WerScorer()
+        for b in range(ids.shape[0]):
+            # greedy path is already argmaxed; collapse repeats + blanks
+            path = ids[b, : int(flens[b])]
+            hyp_ids, prev = [], -1
+            for t in path.tolist():
+                if t != blank and t != prev:
+                    hyp_ids.append(t)
+                prev = t
+            hyp = post_process(dictionary.string(hyp_ids),
+                               post_process_symbol)
+            ref_ids = labels[b, : int(label_lengths[b])].tolist()
+            ref = post_process(dictionary.string(ref_ids),
+                               post_process_symbol)
+            sc.add(hyp, ref)
+        return {
+            "wer_errs": float(sc.w_errs), "wer_len": float(sc.w_len),
+            "uer_errs": float(sc.c_errs), "uer_len": float(sc.c_len),
+        }
+
+    return decode_fn
+
+
+def make_seq2seq_loss_fn(model, label_smoothing: float = 0.1,
+                         deterministic=False):
     """Seq2seq ASR fine-tuning objective (reference trains
     Wav2Vec2Seq2SeqModel with label_smoothed_cross_entropy).
 
@@ -163,7 +219,7 @@ def make_seq2seq_loss_fn(model, label_smoothing: float = 0.1):
             batch["source"],
             batch["prev_tokens"],
             batch.get("lengths"),
-            deterministic=False,
+            deterministic=deterministic,
             step=step,
             rngs=split_rngs(rng),
         )
@@ -174,6 +230,55 @@ def make_seq2seq_loss_fn(model, label_smoothing: float = 0.1):
         return loss, ntokens.astype(jnp.float32), metrics
 
     return loss_fn
+
+
+def make_seq2seq_valid_decode_fn(model, dictionary, max_len: int = 128,
+                                 post_process_symbol="letter"):
+    """Valid-time greedy decode + WER for seq2seq fine-tuning (reference
+    seq2seq valid WER hook,
+    /root/reference/src/fairseq/tasks/audio_pretraining.py:361-394).
+
+    Returns (state, batch) -> WER/UER error/length sums."""
+    import numpy as np
+
+    from unispeech_tpu.decode.wer import WerScorer, post_process
+    from unispeech_tpu.models.seq2seq import greedy_decode
+
+    eos = dictionary.eos()
+    bos = eos  # fairseq conditions on </s> as bos
+
+    @jax.jit
+    def greedy(params, source, lengths):
+        return greedy_decode(
+            model, {"params": params}, source, lengths, bos, eos,
+            max_len=max_len,
+        )
+
+    def decode_fn(state, batch):
+        ids = np.asarray(
+            greedy(state.params, batch["source"], batch.get("lengths"))
+        )
+        tgts = np.asarray(batch["targets"])
+        tmask = np.asarray(batch["target_mask"])
+        sc = WerScorer()
+        for b in range(ids.shape[0]):
+            hyp_ids = []
+            for t in ids[b].tolist():
+                if t == eos:
+                    break
+                hyp_ids.append(t)
+            hyp = post_process(dictionary.string(hyp_ids),
+                               post_process_symbol)
+            L = int(tmask[b].sum()) - 1  # strip the eos terminator
+            ref = post_process(dictionary.string(tgts[b, :max(L, 0)].tolist()),
+                               post_process_symbol)
+            sc.add(hyp, ref)
+        return {
+            "wer_errs": float(sc.w_errs), "wer_len": float(sc.w_len),
+            "uer_errs": float(sc.c_errs), "uer_len": float(sc.c_len),
+        }
+
+    return decode_fn
 
 
 def make_lm_loss_fn(model, padding_idx: int):
