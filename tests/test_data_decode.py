@@ -435,3 +435,32 @@ def test_native_edit_distance_matches_python():
         a = rng.integers(0, 5, rng.integers(0, 15)).tolist()
         b = rng.integers(0, 5, rng.integers(0, 15)).tolist()
         assert edit_distance_native(a, b) == _brute_edit(tuple(a), tuple(b))
+
+
+def test_dictionary_spm_processor_path():
+    """encode_line routes raw text through an attached sentencepiece
+    processor (reference dictionary.py:50-54,344-345). The sandbox has no
+    sentencepiece wheel, so a stand-in processor exercises the plumbing."""
+    from unispeech_tpu.data.dictionary import Dictionary
+
+    d = Dictionary()
+    for p in ["▁he", "llo", "▁wor", "ld"]:
+        d.add_symbol(p)
+
+    class FakeSpm:
+        def encode_as_pieces(self, line):
+            assert line == "hello world"
+            return ["▁he", "llo", "▁wor", "ld"]
+
+    d.processor = FakeSpm()
+    ids = d.encode_line("hello world")
+    assert [d[i] for i in ids] == ["▁he", "llo", "▁wor", "ld"]
+    # post_process("sentencepiece") restores the raw text
+    from unispeech_tpu.decode.wer import post_process
+
+    assert post_process(d.string(ids), "sentencepiece") == "hello world"
+
+    # without a processor: whitespace tokens (unchanged behavior)
+    d.processor = None
+    ids2 = d.encode_line("▁he llo")
+    assert [d[i] for i in ids2] == ["▁he", "llo"]

@@ -228,3 +228,51 @@ def test_expand_attention_head_size():
     out = m.apply(variables, x)
     assert out.x.shape == (2, 37, 64)
     assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_quant_noise_dense_semantics():
+    """QNDense (reference quant_noise, modules.py:203-287): at train time,
+    block_size-wide input blocks are dropped per output unit with
+    probability p and survivors are scaled by 1/(1-p); eval is the plain
+    dense layer."""
+    from unispeech_tpu.models.encoder import QNDense
+
+    rng = jax.random.PRNGKey(0)
+    m = QNDense(16, p=0.5, block_size=4)
+    x = jnp.eye(32)  # rows select kernel rows: y = k (+ bias 0)
+    variables = m.init({"params": rng}, x, True)
+    k = variables["params"]["kernel"]
+
+    # eval: exact dense
+    y = m.apply(variables, x, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(k), rtol=1e-6)
+
+    # train: whole 4-row blocks zeroed; survivors scaled by 2x
+    y = m.apply(variables, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+    eff = np.asarray(y)  # (32, 16) = masked kernel
+    blocks = eff.reshape(8, 4, 16)
+    kb = np.asarray(k).reshape(8, 4, 16)
+    zeroed = np.all(blocks == 0.0, axis=1)  # (8, 16)
+    scaled = np.all(np.isclose(blocks, 2.0 * kb, rtol=1e-5), axis=1)
+    assert np.all(zeroed | scaled), "every block fully dropped or 2x-scaled"
+    frac = zeroed.mean()
+    assert 0.25 < frac < 0.75  # p = 0.5
+
+    # config plumbing: a train-mode encoder forward with quant noise runs
+    from unispeech_tpu.configs import base_encoder_config
+    from unispeech_tpu.models.encoder import TransformerEncoder
+
+    enc = base_encoder_config(
+        encoder_layers=1, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=2, conv_layers=((16, 10, 5),),
+        quant_noise_pq=0.25, quant_noise_pq_block_size=8,
+        relative_position_embedding=False, conv_pos=16, conv_pos_groups=4,
+        dropout=0.0, attention_dropout=0.0,
+    )
+    te = TransformerEncoder(enc)
+    x = jax.random.normal(rng, (2, 24, 32))
+    vs = te.init({"params": rng}, x, deterministic=True)
+    out = te.apply(vs, x, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(3),
+                         "layerdrop": jax.random.PRNGKey(4)})
+    assert np.isfinite(np.asarray(out.x)).all()

@@ -95,6 +95,11 @@ class EncoderConfig:
     # input normalization (matched to extractor_mode=layer_norm in recipes)
     normalize: bool = False
 
+    # iPQ quantization noise on encoder linears (reference quant_noise,
+    # WavLM/modules.py:203-287; off in all published recipes)
+    quant_noise_pq: float = 0.0
+    quant_noise_pq_block_size: int = 8
+
     # TPU hot path: Pallas fused attention (bias+gate+softmax+PV in VMEM).
     # Auto-disabled off-TPU.
     use_flash_attention: bool = True

@@ -39,6 +39,21 @@ class Dictionary:
         for s in extra_special_symbols or []:
             self.add_symbol(s)
         self.nspecial = len(self.symbols)
+        self.processor = None  # optional sentencepiece tokenizer
+
+    def load_spm(self, spm_model: str) -> None:
+        """Attach a sentencepiece processor: encode_line then tokenizes raw
+        text into pieces before lookup (reference dictionary.py:50-54,
+        344-345). Requires the `sentencepiece` package."""
+        try:
+            import sentencepiece as spm
+        except ImportError as e:  # pragma: no cover - env without spm
+            raise ImportError(
+                "sentencepiece is required for spm_model dictionaries; "
+                "install it or use letter/word dictionaries"
+            ) from e
+        self.processor = spm.SentencePieceProcessor()
+        self.processor.load(spm_model)
 
     def __len__(self) -> int:
         return len(self.symbols)
@@ -85,8 +100,13 @@ class Dictionary:
         append_eos: bool = False,
         add_if_not_exist: bool = False,
     ) -> np.ndarray:
-        """Whitespace-tokenized encoding (reference encode_line)."""
-        words = SPACE_NORMALIZER.sub(" ", line).strip().split()
+        """Whitespace-tokenized encoding (reference encode_line); with an
+        attached sentencepiece processor, raw text is tokenized into pieces
+        first (reference dictionary.py:344-345)."""
+        if self.processor is not None:
+            words = self.processor.encode_as_pieces(line)
+        else:
+            words = SPACE_NORMALIZER.sub(" ", line).strip().split()
         ids = []
         for w in words:
             if add_if_not_exist:
@@ -102,9 +122,10 @@ class Dictionary:
         return " ".join(self[int(i)] for i in ids if int(i) not in skip)
 
     @classmethod
-    def load(cls, path: str) -> "Dictionary":
+    def load(cls, path: str, spm_model: Optional[str] = None) -> "Dictionary":
         """Load dict.txt ("symbol count" lines) or a json vocab
-        ({"symbol": index}, fork extension — dictionary.py:36-37,238-253)."""
+        ({"symbol": index}, fork extension — dictionary.py:36-37,238-253).
+        `spm_model` attaches a sentencepiece tokenizer for encode_line."""
         d = cls()
         with open(path, "r", encoding="utf-8") as f:
             text = f.read()
@@ -113,15 +134,21 @@ class Dictionary:
             for sym, idx in sorted(vocab.items(), key=lambda kv: kv[1]):
                 if sym not in d.indices:
                     d.add_symbol(sym)
-            return d
-        for line in text.splitlines():
-            line = line.rstrip()
-            if not line:
-                continue
-            parts = line.rsplit(" ", 1)
-            sym = parts[0]
-            n = int(parts[1]) if len(parts) == 2 and parts[1].lstrip("-").isdigit() else 1
-            d.add_symbol(sym, n=n)
+        else:
+            for line in text.splitlines():
+                line = line.rstrip()
+                if not line:
+                    continue
+                parts = line.rsplit(" ", 1)
+                sym = parts[0]
+                n = (
+                    int(parts[1])
+                    if len(parts) == 2 and parts[1].lstrip("-").isdigit()
+                    else 1
+                )
+                d.add_symbol(sym, n=n)
+        if spm_model:
+            d.load_spm(spm_model)
         return d
 
     def save(self, path: str) -> None:

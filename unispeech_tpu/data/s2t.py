@@ -142,8 +142,13 @@ class S2TIterator:
         return batches
 
     def _encode_target(self, text: str) -> np.ndarray:
-        ids = self.tgt_dict.encode_line(text, append_eos=True)
-        return np.asarray(ids, np.int32)[: self.max_target_len]
+        # truncate BEFORE appending eos so the terminator survives on long
+        # transcripts (round-3 advisor finding)
+        ids = np.asarray(self.tgt_dict.encode_line(text), np.int32)
+        ids = ids[: self.max_target_len - 1]
+        return np.concatenate(
+            [ids, np.asarray([self.tgt_dict.eos()], np.int32)]
+        )
 
     def _collate(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
         sources = [
@@ -168,7 +173,9 @@ class S2TIterator:
                 self._encode_target(self.entries[int(r)].tgt_text or "")
                 for r in rows
             ]
-            S = max(len(t) for t in tgts)
+            # fixed target width: batch-dependent S would recompile the
+            # jitted consumer per batch (round-3 advisor finding)
+            S = self.max_target_len
             out = np.full((len(rows), S), self.tgt_dict.pad(), np.int32)
             tl = np.zeros((len(rows),), np.int32)
             for i, t in enumerate(tgts):

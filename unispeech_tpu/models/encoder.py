@@ -439,6 +439,44 @@ def _on_tpu() -> bool:
     )
 
 
+class QNDense(nn.Module):
+    """Dense layer with iPQ quantization noise on the weight matrix
+    (reference quant_noise, /root/reference/WavLM/modules.py:203-287:
+    randomly drop `block_size`-wide input blocks per output unit with
+    probability p at train time, rescale survivors by 1/(1-p)). Parameter
+    layout matches nn.Dense (kernel/bias) so checkpoint converters are
+    unaffected."""
+
+    features: int
+    p: float
+    block_size: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        nin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02), (nin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        k = kernel
+        if self.p > 0.0 and not deterministic:
+            assert nin % self.block_size == 0, (
+                "input features must be a multiple of the quant-noise block"
+            )
+            drop = jax.random.bernoulli(
+                self.make_rng("dropout"), self.p,
+                (nin // self.block_size, self.features),
+            )
+            mask = jnp.repeat(drop, self.block_size, axis=0)
+            k = jnp.where(mask, 0.0, k) / (1.0 - self.p)
+        y = jnp.dot(x.astype(self.dtype), k.astype(self.dtype))
+        return y + bias.astype(y.dtype)
+
+
 class SelfAttention(nn.Module):
     """Multi-head self-attention with optional gated rel-pos bias.
 
@@ -470,13 +508,22 @@ class SelfAttention(nn.Module):
 
         # init_bert_params overrides every encoder linear to normal(0.02)
         # (/root/reference/WavLM/modules.py:168-200; applied at WavLM.py:562)
-        dense = lambda name, feats=D: nn.Dense(
-            feats,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.normal(0.02),
-            name=name,
-        )
+        if cfg.quant_noise_pq > 0.0:
+            dense = lambda name, feats=D: (
+                lambda h: QNDense(
+                    feats, p=cfg.quant_noise_pq,
+                    block_size=cfg.quant_noise_pq_block_size,
+                    dtype=self.dtype, name=name,
+                )(h, deterministic)
+            )
+        else:
+            dense = lambda name, feats=D: nn.Dense(
+                feats,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.02),
+                name=name,
+            )
         q = dense("q_proj", H * hd_qk)(x).reshape(*x.shape[:2], H, hd_qk)
         k = dense("k_proj", H * hd_qk)(x).reshape(*x.shape[:2], H, hd_qk)
         v = dense("v_proj")(x).reshape(*x.shape[:2], H, hd)
@@ -602,28 +649,35 @@ class TransformerEncoderLayer(nn.Module):
         )
         x_in = x
 
+        if cfg.quant_noise_pq > 0.0:
+            # iPQ quantization noise on the FFN linears too (fairseq applies
+            # quant_noise to fc1/fc2 alongside the attention projections)
+            ffn_dense = lambda feats, name: (
+                lambda h: QNDense(
+                    feats, p=cfg.quant_noise_pq,
+                    block_size=cfg.quant_noise_pq_block_size,
+                    dtype=self.dtype, name=name,
+                )(h, deterministic)
+            )
+        else:
+            ffn_dense = lambda feats, name: nn.Dense(
+                feats,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.02),
+                name=name,
+            )
+
         def ffn(h):
             if cfg.activation_fn == "glu":
                 h = GLULinear(
                     cfg.encoder_ffn_embed_dim, "swish", dtype=self.dtype, name="fc1"
                 )(h)
             else:
-                h = nn.Dense(
-                    cfg.encoder_ffn_embed_dim,
-                    dtype=self.dtype,
-                    param_dtype=jnp.float32,
-                    kernel_init=nn.initializers.normal(0.02),
-                    name="fc1",
-                )(h)
+                h = ffn_dense(cfg.encoder_ffn_embed_dim, "fc1")(h)
                 h = act(h)
             h = drop(cfg.activation_dropout, h)
-            h = nn.Dense(
-                cfg.encoder_embed_dim,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=nn.initializers.normal(0.02),
-                name="fc2",
-            )(h)
+            h = ffn_dense(cfg.encoder_embed_dim, "fc2")(h)
             return h
 
         ln1 = Fp32LayerNorm(eps=cfg.layer_norm_eps, name="self_attn_layer_norm")

@@ -14,8 +14,10 @@ MXU), so the design minimizes full-(T, S) elementwise passes:
   * the additive key-padding mask pass is compiled out entirely when there
     is no padding and S is already lane-aligned (the pretrain bucket shapes
     are chosen frame-128-aligned for exactly this reason);
-  * dropout draws 16-bit thresholds — one PRNG word per TWO logits — with
-    threshold quantization 1/65536 (rel. rate error 6e-5 at p=0.1);
+  * dropout draws one u32 PRNG word per logit from the in-kernel hardware
+    PRNG (threshold quantization 1/2^32); a 16-bit two-logits-per-word
+    draw was tried and rejected — pltpu.bitcast u32->u16 comparisons hit
+    Mosaic relayout bugs on this toolchain;
   * ONE merged backward kernel produces dq/dk/dv/dgate/dbias from a single
     probability recompute (the round-2 design ran two kernels, each
     recomputing exp and regenerating dropout bits).
@@ -141,6 +143,9 @@ def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
     Sp = kh.shape[2]
     has_bias = biasp is not None
     has_mask = addmask is not None
+    if not interpret:
+        _vmem_check(Tp, Sp, hd, q_tile, qh.dtype.itemsize,
+                    direction="fwd", has_bias=has_bias)
 
     def hb_map(h, b, *_):
         return (h, b, 0, 0)
@@ -352,21 +357,36 @@ def _bwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
                 has_bias=False, has_mask=has_mask)
 
 
-def _vmem_check(Tp, Sp, hd, q_tile, itemsize):
+def _vmem_check(Tp, Sp, hd, q_tile, itemsize, *, direction: str,
+                has_bias: bool):
     """Actionable failure instead of an opaque Mosaic scoped-VMEM error
-    (16 MB limit; round-2 advisor finding #2)."""
-    est = (
-        4 * Tp * hd * itemsize * 2        # q/k/v/dO blocks (double-buffered)
-        + 3 * Tp * hd * itemsize * 2      # dq/dk/dv out blocks
-        + 2 * Sp * hd * 4                 # dk/dv fp32 accumulators
-        + Tp * Sp * 4                     # dbias fp32 accumulator
-        + 4 * q_tile * Sp * itemsize      # bias stripe + staging buffers
-        + 5 * q_tile * Sp * 4             # stripe temporaries (p/dp/ds/...)
-    )
+    (16 MB limit; round-2 advisor finding #2). Covers forward AND backward,
+    with and without bias (round-3 advisor finding #4)."""
+    if direction == "fwd":
+        est = (
+            3 * Tp * hd * itemsize * 2    # q/k/v blocks (double-buffered)
+            + Tp * hd * itemsize * 2      # out block
+            + Tp * 4 * 2                  # lse block
+            + 3 * q_tile * Sp * 4         # stripe temporaries (s/p/...)
+        )
+        if has_bias:
+            est += 2 * q_tile * Sp * itemsize  # bias stripe buffers
+    else:
+        est = (
+            4 * Tp * hd * itemsize * 2    # q/k/v/dO blocks (double-buffered)
+            + 3 * Tp * hd * itemsize * 2  # dq/dk/dv out blocks
+            + 2 * Sp * hd * 4             # dk/dv fp32 accumulators
+            + 5 * q_tile * Sp * 4         # stripe temporaries (p/dp/ds/...)
+        )
+        if has_bias:
+            est += (
+                Tp * Sp * 4               # dbias fp32 accumulator
+                + 4 * q_tile * Sp * itemsize  # bias stripe + staging buffers
+            )
     limit = 15 * 1024 * 1024
     if est > limit:
         raise ValueError(
-            f"fused_attention backward needs ~{est/2**20:.1f} MiB VMEM "
+            f"fused_attention {direction} needs ~{est/2**20:.1f} MiB VMEM "
             f"(scoped limit 16 MiB) at T={Tp}, S={Sp}, head_dim={hd}, "
             f"q_tile={q_tile}. Reduce q_tile, shorten the sequence bucket, "
             "or fall back to the XLA path (use_flash_attention=False)."
@@ -379,8 +399,9 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
     Sp = kh.shape[2]
     has_bias = biasp is not None
     has_mask = addmask is not None
-    if not interpret and has_bias:
-        _vmem_check(Tp, Sp, hd, q_tile, qh.dtype.itemsize)
+    if not interpret:
+        _vmem_check(Tp, Sp, hd, q_tile, qh.dtype.itemsize,
+                    direction="bwd", has_bias=has_bias)
 
     def hb_map(h, b, *_):
         return (h, b, 0, 0)
