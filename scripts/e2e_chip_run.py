@@ -11,7 +11,7 @@ with learnability guaranteed by construction (CTC WER must approach 0 on a
 separable corpus; pretrain loss must fall).
 
 Run: python scripts/e2e_chip_run.py [workdir]
-Records E2E_CHIP_r03.json at the repo root.
+Records E2E_CHIP_r04.json at the repo root.
 """
 
 import contextlib
@@ -55,7 +55,7 @@ def _run_train(argv):
                 r = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if r.get("tag") == "train":
+            if r.get("tag") in ("train", "valid"):
                 recs.append(r)
     return recs
 
@@ -107,42 +107,71 @@ def write_wav(path, wav):
 
 
 def build_corpus(root, n_train=64, n_eval=12):
+    """Write wavs + transcripts, then index them with the PUBLIC manifest
+    tool (`python -m unispeech_tpu.data manifest`) instead of inline TSV
+    writing — the same entry ramp a real-corpus user takes."""
+    from unispeech_tpu.data.__main__ import main as data_main
+
     rng = np.random.default_rng(SEED)
-    os.makedirs(root, exist_ok=True)
     rows = {"train": [], "eval": []}
     texts = {"train": [], "eval": []}
     for split, n in [("train", n_train), ("eval", n_eval)]:
+        audio_dir = os.path.join(root, f"audio_{split}")
+        os.makedirs(audio_dir, exist_ok=True)
         for i in range(n):
             wav, text = make_utterance(rng)
             name = f"{split}_{i}.wav"
-            write_wav(os.path.join(root, name), wav)
+            write_wav(os.path.join(audio_dir, name), wav)
             rows[split].append((name, len(wav)))
             texts[split].append(text)
-        with open(os.path.join(root, f"{split}.tsv"), "w") as f:
-            f.write(root + "\n")
-            for name, sz in rows[split]:
-                f.write(f"{name}\t{sz}\n")
+        dest = os.path.join(root, f"man_{split}")
+        data_main([
+            "manifest", audio_dir, "--ext", "wav", "--dest", dest,
+            "--valid-percent", "0",
+        ])
+        os.replace(os.path.join(dest, "train.tsv"),
+                   os.path.join(root, f"{split}.tsv"))
+        # transcripts: the synthetic corpus has no LibriSpeech layout, so
+        # .ltr files are written directly (the libri-labels tool has its own
+        # real-layout test in tests/test_dataprep_cli.py). Sort matches the
+        # manifest tool's sorted walk.
+        order = np.argsort([name for name, _ in rows[split]], kind="stable")
         with open(os.path.join(root, f"{split}.ltr"), "w") as f:
-            f.write("\n".join(texts[split]) + "\n")
+            f.write("\n".join(texts[split][int(i)] for i in order) + "\n")
+        rows[split] = [rows[split][int(i)] for i in order]
     return rows
 
 
 def make_km_labels(root, rows, n_clusters=24):
-    """iteration-1 HuBERT labels: MFCC -> k-means -> 50 Hz .km files."""
-    from unispeech_tpu.data.manifest import load_audio
-    from unispeech_tpu.tools.kmeans import (
-        apply_kmeans,
-        learn_kmeans,
-        mfcc_39,
-        write_label_file,
-    )
+    """iteration-1 HuBERT labels via the PUBLIC k-means pipeline CLI
+    (`python -m unispeech_tpu.tools`, reference simple_kmeans) with a real
+    (nshard=2, rank) split, then 100 Hz -> 50 Hz decimation."""
+    from unispeech_tpu.tools.__main__ import main as tools_main
 
-    feats = []
-    for name, _ in rows["train"]:
-        feats.append(mfcc_39(load_audio(os.path.join(root, name))))
-    km = learn_kmeans(feats, n_clusters=n_clusters, seed=SEED)
-    labels = [apply_kmeans(km, f)[::2] for f in feats]  # 100 Hz -> 50 Hz
-    write_label_file(os.path.join(root, "train.km"), labels)
+    feat_dir = os.path.join(root, "feat")
+    km_path = os.path.join(root, "km.npy")
+    lab_dir = os.path.join(root, "lab")
+    man = os.path.join(root, "train.tsv")
+    for rank in range(2):
+        tools_main([
+            "dump-features", "--manifest", man, "--nshard", "2",
+            "--rank", str(rank), "--feat-dir", feat_dir,
+        ])
+    tools_main([
+        "learn-kmeans", "--feat-dir", feat_dir, "--nshard", "2",
+        "--n-clusters", str(n_clusters), "--km-path", km_path,
+        "--seed", str(SEED),
+    ])
+    for rank in range(2):
+        tools_main([
+            "dump-labels", "--manifest", man, "--nshard", "2",
+            "--rank", str(rank), "--km-path", km_path, "--lab-dir", lab_dir,
+        ])
+    with open(os.path.join(root, "train.km"), "w") as out:
+        for rank in range(2):  # concat shards (reference README) + decimate
+            with open(os.path.join(lab_dir, f"train_{rank}_2.km")) as f:
+                for line in f:
+                    out.write(" ".join(line.split()[::2]) + "\n")
     return n_clusters
 
 
@@ -193,8 +222,9 @@ def main():
         "--export-params", pre_npz,
     ])
     record["pretrain_seconds"] = round(time.time() - t0, 1)
-    record["pretrain_loss_first"] = pre_log[0].get("loss_per_sample")
-    record["pretrain_loss_last"] = pre_log[-1].get("loss_per_sample")
+    pre_tr = [r for r in pre_log if r.get("tag") == "train"]
+    record["pretrain_loss_first"] = pre_tr[0].get("loss_per_sample")
+    record["pretrain_loss_last"] = pre_tr[-1].get("loss_per_sample")
     print("pretrain done:", record["pretrain_loss_first"], "->",
           record["pretrain_loss_last"], flush=True)
 
@@ -219,13 +249,25 @@ def main():
         "--mask-prob", "0.2",
         "--freeze-finetune-updates", "0",
         "--log-interval", "100",
-        "--save-interval-updates", "1500",
+        "--save-interval-updates", "500",
+        "--validate-interval-updates", "500",
+        "--valid-manifest", os.path.join(work, "eval.tsv"),
+        "--valid-transcripts", os.path.join(work, "eval.ltr"),
+        "--best-metric", "wer",
         "--checkpoint-dir", ft_dir,
         "--export-params", ft_npz,
     ])
     record["finetune_seconds"] = round(time.time() - t0, 1)
-    record["finetune_loss_first"] = ft_log[0].get("loss_per_sample")
-    record["finetune_loss_last"] = ft_log[-1].get("loss_per_sample")
+    tr = [r for r in ft_log if r.get("tag") == "train"]
+    record["finetune_loss_first"] = tr[0].get("loss_per_sample")
+    record["finetune_loss_last"] = tr[-1].get("loss_per_sample")
+    valid_wers = [r.get("wer") for r in ft_log
+                  if r.get("tag") == "valid" and "wer" in r]
+    record["finetune_valid_wers"] = valid_wers
+    from unispeech_tpu.train.checkpoint import CheckpointManager
+    _m = CheckpointManager(ft_dir, best_metric="wer")
+    record["finetune_best_by_wer_step"] = _m.best_step()
+    _m.close()
     print("finetune done:", record["finetune_loss_first"], "->",
           record["finetune_loss_last"], flush=True)
 
@@ -250,7 +292,7 @@ def main():
     record["total_seconds"] = round(time.time() - t_all, 1)
     record["device"] = str(jax.devices()[0])
 
-    with open(os.path.join(REPO, "E2E_CHIP_r03.json"), "w") as f:
+    with open(os.path.join(REPO, "E2E_CHIP_r04.json"), "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record, indent=1), flush=True)
 

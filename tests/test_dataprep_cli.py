@@ -87,3 +87,45 @@ def test_cv_manifest(tmp_path):
     assert (tmp_path / "dev.text").read_text().splitlines()[0] == (
         "clip1.mp3\thello there"
     )
+
+
+def test_binarize_text_and_mmap_roundtrip(tmp_path):
+    """binarize-text -> MMapIndexedDataset: per-sentence views and the flat
+    stream match the in-RAM tokenizer (reference MMapIndexedDataset +
+    Binarizer capability, indexed_dataset.py:214-470)."""
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.indexed_dataset import MMapIndexedDataset
+    from unispeech_tpu.data.lm_dataset import tokenize_corpus
+
+    words = ["the", "cat", "sat", "dog", "ran"]
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the cat sat\ndog ran\nthe dog sat\n" + "the cat sat dog ran\n" * 40)
+    d = Dictionary()
+    for w in words:
+        d.add_symbol(w)
+    dict_path = tmp_path / "dict.txt"
+    d.save(str(dict_path))
+
+    data_main([
+        "binarize-text", "--corpus", str(corpus), "--dict", str(dict_path),
+        "--out", str(tmp_path / "c"),
+    ])
+    ds = MMapIndexedDataset(str(tmp_path / "c"))
+    assert len(ds) == 43
+    assert ds.sizes.tolist()[:3] == [4, 3, 4]  # eos appended per line
+    ref = tokenize_corpus(str(corpus), d)
+    np.testing.assert_array_equal(np.asarray(ds.flat), ref)
+    np.testing.assert_array_equal(np.asarray(ds[1]), ref[4:7])
+
+    # the LM CLI consumes the stem / .bin directly
+    from unispeech_tpu.train.__main__ import main as train_main
+
+    train_main([
+        "train-lm", "--corpus", str(tmp_path / "c.bin"),
+        "--dict", str(dict_path),
+        "--block-size", "8", "--batch-size", "8", "--embed-dim", "16",
+        "--ffn-dim", "32", "--layers", "1", "--heads", "2",
+        "--max-updates", "2", "--warmup-steps", "1", "--lr", "1e-3",
+        "--log-interval", "2", "--save-interval-updates", "2",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+    ])

@@ -160,6 +160,18 @@ def cmd_cv_manifest(args) -> None:
             f.write(f"{name}\t{t}\n")
 
 
+def cmd_binarize_text(args) -> None:
+    """Binarize a tokenized text corpus into the mmap format
+    (reference fairseq-preprocess / Binarizer path for LM corpora)."""
+    from unispeech_tpu.data.dictionary import Dictionary
+    from unispeech_tpu.data.indexed_dataset import binarize_text
+
+    d = Dictionary.load(args.dict)
+    n = binarize_text(args.corpus, d, args.out,
+                      append_eos=not args.no_append_eos)
+    print(f"binarized {n} sentences -> {args.out}.bin", file=sys.stderr)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("unispeech_tpu.data")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -191,6 +203,13 @@ def main(argv=None) -> None:
     c.add_argument("input")
     c.add_argument("--dest", required=True)
     c.set_defaults(fn=cmd_cv_manifest)
+
+    b = sub.add_parser("binarize-text")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--dict", required=True)
+    b.add_argument("--out", required=True, help="output stem (.bin/.idx.npz)")
+    b.add_argument("--no-append-eos", action="store_true")
+    b.set_defaults(fn=cmd_binarize_text)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -86,6 +86,12 @@ class LMIterator:
     def __iter__(self) -> Iterator[dict]:
         n = len(self.dataset)
         block = self.dataset.block_size
+        if n // self.batch_size == 0:
+            raise ValueError(
+                f"corpus too small: {n} blocks of {block} tokens cannot fill "
+                f"one batch of {self.batch_size} (the iterator would spin "
+                "forever); reduce --batch-size/--block-size or add data"
+            )
         while True:
             order = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch])

@@ -465,7 +465,17 @@ def cmd_train_lm(args) -> None:
         max_positions=max(args.block_size * 2, 2048),
     )
     model = TransformerLM(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
-    tokens = tokenize_corpus(args.corpus, d)
+    if args.corpus.endswith(".bin") or os.path.exists(
+        args.corpus + ".idx.npz"
+    ):
+        # mmap'd binarized corpus (python -m unispeech_tpu.data
+        # binarize-text) — scales past in-RAM text files
+        from unispeech_tpu.data.indexed_dataset import MMapIndexedDataset
+
+        stem = args.corpus[:-4] if args.corpus.endswith(".bin") else args.corpus
+        tokens = MMapIndexedDataset(stem).flat
+    else:
+        tokens = tokenize_corpus(args.corpus, d)
     data = LMIterator(
         TokenBlockDataset(tokens, args.block_size),
         batch_size=args.batch_size or 32,
