@@ -15,11 +15,14 @@ One block computes  y = gelu?( conv_k_s2( gelu_in?(x) ) )  for the frontend's
 (k=3, s=2) and (k=2, s=2) 512-channel stages
 (reference chain: /root/reference/WavLM/WavLM.py:378-504), so the whole
 L1..L6 stack runs as six back-to-back kernels with NO intermediate XLA ops:
-storage rows beyond each block's valid length are finite garbage that no
-VALID downstream window ever reads (out row i only touches input rows
-<= 2 i + k - 1 < t_in_valid), Element windows past storage read zeros, and
-garbage rows receive zero cotangents — so blocks chain without slicing and
-the final valid length is sliced once at the end.
+storage rows beyond each block's valid length are garbage that no VALID
+downstream forward window ever reads (out row i only touches input rows
+<= 2 i + k - 1 < t_in_valid), and the backward kernels mask every
+garbage row out of their matmul contractions — Element windows past
+storage read UNINITIALIZED memory on real silicon (sometimes NaN), and a
+NaN row times a zero cotangent still poisons a matmul sum, so both
+contraction sides are zeroed by the valid-length row masks. Blocks chain
+without slicing; the final valid length is sliced once at the end.
 
 GELU is the erf form evaluated as a degree-8-in-x^2 odd polynomial
 (max |err| 1.9e-5 for erf, 1.5e-4 for its derivative — far below bf16
@@ -163,7 +166,7 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
 
 
 def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
-                gelu_out, mask_x, mask_dy):
+                gelu_out, valid_in, valid_out, mask_x, mask_dy):
     b, t = pl.program_id(0), pl.program_id(1)
 
     @pl.when((b == 0) & (t == 0))
@@ -184,20 +187,27 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
         s0 = jnp.where(t > 0, 1, 0)
     else:
         s0 = 0
+    x_start = 2 * tile * t - 16 * s0 if k == 3 else 2 * tile * t
+    y_start = tile * t - 8 * s0 if k == 3 else tile * t
     if mask_x is not None:  # interpret mode only
-        x_start = 2 * tile * t - 16 * s0 if k == 3 else 2 * tile * t
         Xw = _mask_rows(Xw, x_start, mask_x)
     if mask_dy is not None:
-        y_start = tile * t - 8 * s0 if k == 3 else tile * t
         dyw = _mask_rows(dyw, y_start, mask_dy)
 
     H = gelu_poly(Xw).astype(Xw.dtype) if gelu_in else Xw
     H2 = H.reshape(H.shape[0] // 2, 2 * C)
-    he = H2[:ywin, :C]   # tap 0 rows for out local l
-    ho = H2[:ywin, C:]   # tap 1
+    # mask rows beyond the VALID output length: storage/Element-padding
+    # regions can hold NaN garbage on real silicon, and NaN * 0 = NaN in a
+    # matmul contraction — one NaN garbage row would poison the whole dW
+    # (seen as flaky non-finite grads at small T; zeroing the row on BOTH
+    # contraction sides is the only safe form)
+    li = jax.lax.broadcasted_iota(jnp.int32, (ywin, 1), 0)
+    m_valid = (y_start + li) < valid_out  # (ywin, 1)
+    he = jnp.where(m_valid, H2[:ywin, :C], 0)   # tap 0 rows for out local l
+    ho = jnp.where(m_valid, H2[:ywin, C:], 0)   # tap 1
     Hp = [he, ho]
     if k == 3:
-        Hp.append(H2[1 : ywin + 1, :C])  # tap 2
+        Hp.append(jnp.where(m_valid, H2[1 : ywin + 1, :C], 0))  # tap 2
 
     # recompute pre-activations and the post-gelu gradient g
     if gelu_out:
@@ -208,6 +218,7 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
         g = dgelu_poly(pre) * dyw.astype(jnp.float32)
     else:
         g = dyw.astype(jnp.float32)
+    g = jnp.where(m_valid, g, 0.0)  # kill NaN from garbage dy rows
     gc = g.astype(Xw.dtype)
 
     # input gradient, assembled in the collapsed (tile, 2C) layout then
@@ -244,11 +255,14 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
         else:
             Xtile = Xw
         dX = dX * dgelu_poly(Xtile)
+    # zero dx rows beyond the valid input length so garbage (incl. the
+    # dgelu of NaN garbage rows above) never flows upstream as a cotangent
+    ri = jax.lax.broadcasted_iota(jnp.int32, (2 * tile, 1), 0)
+    dX = jnp.where(2 * tile * t + ri < valid_in, dX, 0.0)
     dx_ref[0] = dX.astype(dx_ref.dtype)
 
     # weight gradient over this program's OWN output rows only (halo rows
     # l < 8 s0 belong to the previous tile)
-    li = jax.lax.broadcasted_iota(jnp.int32, (ywin, 1), 0)
     own = (li >= 8 * s0) & (li < 8 * s0 + tile)
     g_own = jnp.where(own, g, jnp.float32(0.0)).astype(Xw.dtype)
     for p in range(k):
@@ -258,9 +272,13 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
         )
 
 
-def _run_bwd(k, tile, gelu_in, gelu_out, interpret, x, w, dy):
+def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy):
     B, Ts, C = x.shape
     Ry = dy.shape[1]
+    # the backward holds more live buffers than the forward (dy window, dX
+    # assembly, valid-row masks); tile 512 exceeds the 16 MB scoped-VMEM
+    # limit by ~1.7 MB, and the 384 tile costs <2% (tile sweep in R4 notes)
+    tile = min(tile, 384)
     nt = pl.cdiv(Ts, 2 * tile)
     grid = (B, nt)
     if k == 3:
@@ -283,9 +301,11 @@ def _run_bwd(k, tile, gelu_in, gelu_out, interpret, x, w, dy):
         ywin = tile
         x_spec = pl.BlockSpec((1, xwin, C), lambda b, t: (b, t, 0))
         dy_spec = pl.BlockSpec((1, ywin, C), lambda b, t: (b, t, 0))
+    valid_out = (valid_in - k) // 2 + 1
     dx, dw = pl.pallas_call(
         functools.partial(
             _bwd_kernel, k=k, tile=tile, gelu_in=gelu_in, gelu_out=gelu_out,
+            valid_in=valid_in, valid_out=valid_out,
             mask_x=Ts if interpret else None,
             mask_dy=Ry if interpret else None,
         ),
@@ -321,19 +341,20 @@ def _run_bwd(k, tile, gelu_in, gelu_out, interpret, x, w, dy):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _block(k, tile, gelu_in, gelu_out, interpret, x, w):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _block(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w):
     return _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w)
 
 
-def _block_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
+def _block_fwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w):
     y = _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w)
     return y, (x, w)
 
 
-def _block_bwd(k, tile, gelu_in, gelu_out, interpret, res, dy):
+def _block_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, res, dy):
     x, w = res
-    dx, dw = _run_bwd(k, tile, gelu_in, gelu_out, interpret, x, w, dy)
+    dx, dw = _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w,
+                      dy)
     return dx, dw.astype(w.dtype)
 
 
@@ -362,6 +383,6 @@ def conv_gelu_block(
         # k=2 path uses plain blocked windows; pad storage to a multiple
         pad = -x.shape[1] % (2 * tile)
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    y = _block(k, tile, gelu_in, gelu_out, interpret, x,
+    y = _block(k, tile, gelu_in, gelu_out, valid_len, interpret, x,
                kernel.astype(x.dtype))
     return y, t_out
