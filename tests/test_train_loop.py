@@ -187,3 +187,21 @@ def test_loop_carries_metrics_to_misaligned_saves(tmp_path):
     assert "loss_avg" in by_step[3], (
         f"step-3 save lost the step-2 validation metrics: {by_step}"
     )
+
+
+def test_hang_watchdog_fires_and_disarms():
+    """HangWatchdog (DistributedTimeoutWrapper analog): fires after the
+    timeout with a stack dump; disarm cancels; kill=False only warns."""
+    import time as _time
+
+    from unispeech_tpu.utils.debug import HangWatchdog
+
+    w = HangWatchdog(timeout_s=0.1, kill=False)
+    w.arm()
+    _time.sleep(0.4)
+    assert w.fired == 1
+    # re-arm + disarm in time -> no new firing
+    w.arm()
+    w.disarm()
+    _time.sleep(0.3)
+    assert w.fired == 1

@@ -50,6 +50,9 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--export-params", default=None,
                    help="write final params as flat .npz (for --w2v-path / "
                         "decode --checkpoint / downstream CLIs)")
+    p.add_argument("--hang-timeout", type=float, default=0.0,
+                   help="dump stacks if a step exceeds this many seconds "
+                        "(0 disables; DistributedTimeoutWrapper analog)")
     p.add_argument("--coordinator-address", default=None,
                    help="host:port of process 0 for multi-host runs")
     p.add_argument("--num-processes", type=int, default=None)
@@ -90,6 +93,7 @@ def _loop_cfg(args):
         accum_steps=args.accum_steps,
         export_params=getattr(args, "export_params", None),
         best_metric=getattr(args, "best_metric", None) or "loss_avg",
+        hang_timeout_s=getattr(args, "hang_timeout", 0.0),
     )
 
 

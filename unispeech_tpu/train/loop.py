@@ -56,6 +56,11 @@ class LoopConfig:
     # NaN/Inf localization cadence: check the logged loss every log interval
     # and dump offending param/metric paths (NanDetector analog)
     detect_nonfinite: bool = True
+    # hung-step watchdog (DistributedTimeoutWrapper analog): dump all
+    # thread stacks if a device step takes longer than this; 0 disables.
+    # kill=False by default — it warns so the job can be inspected.
+    hang_timeout_s: float = 0.0
+    hang_kill: bool = False
 
 
 def run_training(
@@ -116,9 +121,18 @@ def run_training(
     logger = ProgressLogger("train", cfg.tensorboard_dir)
     vlogger = ProgressLogger("valid", cfg.tensorboard_dir)
     timer = StopwatchMeter()
-    from unispeech_tpu.utils.debug import CompileWatchdog, nonfinite_paths
+    from unispeech_tpu.utils.debug import (
+        CompileWatchdog,
+        HangWatchdog,
+        nonfinite_paths,
+    )
 
     watchdog = CompileWatchdog(warn_after=3)
+    hang = (
+        HangWatchdog(cfg.hang_timeout_s, kill=cfg.hang_kill)
+        if cfg.hang_timeout_s > 0
+        else None
+    )
 
     step_rng = jax.random.fold_in(rng, 0xBEEF)
     num_updates = int(start_step)
@@ -132,10 +146,16 @@ def run_training(
             break
         sharded = shard_batch(_as_device_batch(batch), mesh)
         timer.start()
+        if hang is not None:
+            hang.arm()
         state, metrics = step_fn(state, sharded, step_rng)
         timer.stop()
         num_updates += 1
+        # agg.update() fetches the metric scalars — the step's device sync
+        # point, so the watchdog window covers actual device execution
         agg.update(metrics)
+        if hang is not None:
+            hang.disarm()
 
         if num_updates % cfg.log_interval == 0:
             stats = agg.snapshot()

@@ -90,3 +90,57 @@ def profile_trace(log_dir: str):
     """Context manager: jax.profiler trace (xplane), the `--profile` analog
     (fairseq_cli/train.py:498-501)."""
     return jax.profiler.trace(log_dir, create_perfetto_link=False)
+
+
+class HangWatchdog:
+    """Detect hung device steps (the reference wraps distributed calls in
+    DistributedTimeoutWrapper threads that signal the process after a
+    timeout — /root/reference/src/fairseq/distributed/
+    distributed_timeout_wrapper.py:14-90). Single-controller JAX cannot
+    hang on peer workers the same way, but a device step CAN wedge on a
+    bad collective or runtime fault; this watchdog arms a timer around
+    each step and dumps every thread's stack when it fires, then either
+    warns or kills the process (so an orchestrator can restart from the
+    checkpoint).
+    """
+
+    def __init__(self, timeout_s: float = 600.0, kill: bool = False):
+        import threading
+
+        self.timeout_s = timeout_s
+        self.kill = kill
+        self._timer: Optional[Any] = None
+        self._lock = threading.Lock()
+        self.fired = 0
+
+    def _on_timeout(self) -> None:
+        import faulthandler
+        import os
+        import sys
+
+        self.fired += 1
+        logger.error(
+            "step exceeded %.0fs — dumping stacks%s", self.timeout_s,
+            " and aborting" if self.kill else "",
+        )
+        faulthandler.dump_traceback(file=sys.stderr)
+        if self.kill:
+            os._exit(17)  # orchestrators treat nonzero as restart-from-ckpt
+
+    def arm(self) -> None:
+        import threading
+
+        with self._lock:
+            self._cancel_locked()
+            self._timer = threading.Timer(self.timeout_s, self._on_timeout)
+            self._timer.daemon = True
+            self._timer.start()
+
+    def disarm(self) -> None:
+        with self._lock:
+            self._cancel_locked()
+
+    def _cancel_locked(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
