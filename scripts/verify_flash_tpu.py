@@ -3,7 +3,7 @@
 Thin runner: executes the compiled-on-silicon test suite
 (tests_tpu/test_flash_tpu.py — dropout determinism/statistics/mean-field,
 backward-vs-recovered-mask gradients, bf16 parity, train-step HLO
-presence) and records the outcome to VERIFY_TPU_r03.json at the repo root.
+presence) and records the outcome to VERIFY_TPU_r04.json at the repo root.
 
 Run from anywhere: python scripts/verify_flash_tpu.py
 """
@@ -35,9 +35,9 @@ def main() -> int:
         "tail": proc.stdout.splitlines()[-1] if proc.stdout else "",
         "when": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    with open(os.path.join(REPO, "VERIFY_TPU_r03.json"), "w") as f:
+    with open(os.path.join(REPO, "VERIFY_TPU_r04.json"), "w") as f:
         json.dump(record, f, indent=1)
-    print("recorded ->", os.path.join(REPO, "VERIFY_TPU_r03.json"))
+    print("recorded ->", os.path.join(REPO, "VERIFY_TPU_r04.json"))
     return proc.returncode
 
 

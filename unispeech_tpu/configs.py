@@ -122,6 +122,11 @@ class EncoderConfig:
     # checkpoint_activations.py) and is required for Large-scale training.
     scan_layers: bool = True
     remat_layers: bool = True
+    # rematerialize ONLY the FFN branch (fc1+gelu recomputed in backward)
+    # instead of storing the (L, B, T, 4D) fc1 activations — cheaper than
+    # full remat_layers when HBM fits everything else. Ignored when
+    # remat_layers already covers the whole layer.
+    remat_ffn: bool = False
 
     @property
     def frame_hop(self) -> int:

@@ -668,10 +668,11 @@ class TransformerEncoderLayer(nn.Module):
                 name=name,
             )
 
-        def ffn(h):
+        def _ffn_body(mdl, h):
             if cfg.activation_fn == "glu":
                 h = GLULinear(
-                    cfg.encoder_ffn_embed_dim, "swish", dtype=self.dtype, name="fc1"
+                    cfg.encoder_ffn_embed_dim, "swish", dtype=mdl.dtype,
+                    name="fc1",
                 )(h)
             else:
                 h = ffn_dense(cfg.encoder_ffn_embed_dim, "fc1")(h)
@@ -679,6 +680,15 @@ class TransformerEncoderLayer(nn.Module):
             h = drop(cfg.activation_dropout, h)
             h = ffn_dense(cfg.encoder_embed_dim, "fc2")(h)
             return h
+
+        if cfg.remat_ffn and not cfg.remat_layers:
+            # recompute fc1+gelu in backward instead of storing the
+            # (L, B, T, 4D) activation stack (the largest residual in the
+            # no-remat configuration); params keep their fc1/fc2 names
+            ffn_r = nn.remat(_ffn_body, prevent_cse=False)
+            ffn = lambda h: ffn_r(self, h)
+        else:
+            ffn = lambda h: _ffn_body(self, h)
 
         ln1 = Fp32LayerNorm(eps=cfg.layer_norm_eps, name="self_attn_layer_norm")
         ln2 = Fp32LayerNorm(eps=cfg.layer_norm_eps, name="final_layer_norm")
