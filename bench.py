@@ -81,6 +81,7 @@ def build_step(b=B, nsamp=NSAMP, remat=REMAT, arch="base"):
         # Base @ B=6 fits HBM without remat; Large (24L/1024d) needs the
         # scan-remat path — exactly what it exists for (SURVEY §6)
         remat_layers=remat or arch == "large",
+        remat_ffn=True,
     )
     cfg = HubertPretrainConfig(
         encoder=enc,

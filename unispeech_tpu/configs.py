@@ -124,9 +124,9 @@ class EncoderConfig:
     remat_layers: bool = True
     # rematerialize ONLY the FFN branch (fc1+gelu recomputed in backward)
     # instead of storing the (L, B, T, 4D) fc1 activations — cheaper than
-    # full remat_layers when HBM fits everything else. Ignored when
-    # remat_layers already covers the whole layer.
-    remat_ffn: bool = False
+    # full remat_layers when HBM fits everything else (on-chip: -2.7 ms/step
+    # at Base bench shapes). Ignored when remat_layers covers the layer.
+    remat_ffn: bool = True
 
     @property
     def frame_hop(self) -> int:
