@@ -782,8 +782,9 @@ class TransformerEncoder(nn.Module):
             # tradeoff the kernel already makes (round-2 advisor note #1);
             # the (num_buckets, H) table gradient reduction still sums fp32.
             position_bias = compute_rel_pos_bias(
-                table, T, T, cfg.num_buckets, cfg.max_distance
-            ).astype(self.dtype)
+                table, T, T, cfg.num_buckets, cfg.max_distance,
+                dtype=self.dtype,
+            )
 
         L = cfg.encoder_layers
         layer_outputs = None

@@ -60,6 +60,7 @@ def compute_rel_pos_bias(
     key_length: int,
     num_buckets: int,
     max_distance: int,
+    dtype=None,
 ) -> jax.Array:
     """Return (num_heads, query_length, key_length) bias.
 
@@ -80,6 +81,15 @@ def compute_rel_pos_bias(
         rel_pos, num_buckets=num_buckets, max_distance=max_distance
     )[0]
     rel = jnp.take(bias_table, buckets, axis=0)  # (ndiag, H)
+    if dtype is not None:
+        # cast on the TINY per-diagonal vector, not the (H, T, S) expansion:
+        # the skew only MOVES values, so casting here is numerically
+        # identical to casting the result — but the whole expansion AND its
+        # AD transpose (3 big (H, T, T+S) intermediates per backward) then
+        # run at storage width instead of fp32 (~1.5 ms/step at Base bench
+        # shapes); only the (ndiag, H) gradient converts back to fp32 for
+        # the table scatter.
+        rel = rel.astype(dtype)
     # skew: row t of the result is rel[t-offset ...]; flat index identity
     #   t*(T+S-1) + s + (T-1) == t*(T+S) + (s - t + T - 1)
     # so a width-(T+S) padded broadcast reshaped at width (T+S-1) from offset
