@@ -127,22 +127,25 @@ class Fp32LayerNorm(nn.Module):
             if self.use_bias else None
         )
 
-        # checkpointed: backward recomputes the fp32 island from the bf16
-        # input instead of storing fp32 normalized activations (see
-        # gelu_fp32 note)
+        # stats are computed OUTSIDE the checkpoint (tiny residuals, one
+        # reduction pass); only the elementwise normalize is checkpointed —
+        # backward recomputes the fp32 island from the bf16 input instead of
+        # storing fp32 normalized activations (see gelu_fp32 note), without
+        # re-running the reductions
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+
         @jax.checkpoint
-        def _norm(x, scale, bias):
-            xf = x.astype(jnp.float32)
-            mean = xf.mean(-1, keepdims=True)
-            var = xf.var(-1, keepdims=True)
-            y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        def _norm(x, mean, var, scale, bias):
+            y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
             if scale is not None:
                 y = y * scale
             if bias is not None:
                 y = y + bias
             return y.astype(x.dtype)
 
-        return _norm(x, scale, bias)
+        return _norm(x, mean, var, scale, bias)
 
 
 class Fp32GroupNorm(nn.Module):
@@ -165,19 +168,20 @@ class Fp32GroupNorm(nn.Module):
 
         # checkpointed for the same reason as Fp32LayerNorm: at the conv
         # frontend's L0 output (B, ~49k, 512) the fp32 residual store alone
-        # is ~600 MB/step
+        # is ~600 MB/step. Stats live OUTSIDE the checkpoint so the backward
+        # recompute is elementwise-only (no repeated full-T reductions).
+        G = self.num_groups
+        xg = x.astype(jnp.float32).reshape(B, T, G, C // G)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+
         @jax.checkpoint
-        def _norm(x, scale, bias):
-            xf = x.astype(jnp.float32).reshape(
-                B, T, self.num_groups, C // self.num_groups
-            )
-            # normalize over (time, channels-in-group)
-            mean = xf.mean(axis=(1, 3), keepdims=True)
-            var = xf.var(axis=(1, 3), keepdims=True)
+        def _norm(x, mean, var, scale, bias):
+            xf = x.astype(jnp.float32).reshape(B, T, G, C // G)
             y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(B, T, C)
             return (y * scale + bias).astype(x.dtype)
 
-        return _norm(x, scale, bias)
+        return _norm(x, mean, var, scale, bias)
 
 
 @jax.custom_vjp
