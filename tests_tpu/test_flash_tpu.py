@@ -195,3 +195,49 @@ def test_masked_bias_gradients_vs_xla_on_chip():
         denom = np.abs(r).mean() + 1e-6
         rel = np.abs(a - r).mean() / denom
         assert rel < 0.06, (name, rel, float(np.abs(a - r).max()))
+
+
+def test_conv_chain_grads_finite_small_T():
+    """Regression for the round-4 NaN bug: pl.Element window padding beyond
+    array storage reads UNINITIALIZED memory on real silicon (sometimes
+    NaN), and an unmasked garbage row times a zero cotangent poisons a
+    matmul contraction — the full L1..L6 chain's grads went non-finite
+    nondeterministically at small T. Runs the exact failing shape several
+    times (the failure was flaky, dependent on residual VMEM contents)."""
+    import jax.numpy as jnp
+
+    from unispeech_tpu.ops.pallas.conv_stack import conv_gelu_block
+
+    B, C, T1 = 8, 512, 3199
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T1, C), jnp.bfloat16)
+    ws3 = [
+        jax.random.normal(jax.random.PRNGKey(i), (3, C, C), jnp.bfloat16)
+        * 0.05
+        for i in range(4)
+    ]
+    ws2 = [
+        jax.random.normal(jax.random.PRNGKey(9 + i), (2, C, C), jnp.bfloat16)
+        * 0.05
+        for i in range(2)
+    ]
+
+    def chain(x, ws3, ws2):
+        h, t = x, T1
+        for i, w in enumerate(ws3):
+            h, t = conv_gelu_block(h, w, valid_len=t, gelu_in=(i == 0))
+        for w in ws2:
+            h, t = conv_gelu_block(h, w, valid_len=t)
+        return h[:, :t]
+
+    g = jax.jit(
+        jax.grad(
+            lambda x, a, b: (chain(x, a, b).astype(jnp.float32) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )
+    )
+    for trial in range(4):
+        r = g(x, ws3, ws2)
+        for leaf in jax.tree.leaves(r):
+            assert bool(
+                jnp.isfinite(leaf.astype(jnp.float32)).all()
+            ), f"non-finite conv-chain gradient (trial {trial})"
