@@ -221,7 +221,7 @@ def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
-                lse_ref, delta_ref, do_ref,
+                lse_ref, out_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dgate_ref, dbias_hbm,
                 dk_acc, dv_acc, dbias_acc, bias_buf, dbias_stage,
                 sem_in, sem_out,
@@ -267,7 +267,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
         q = q_ref[0, 0, sl, :]  # (TQ, hd), pre-scaled
         do = do_ref[0, 0, sl, :]
         lse = lse_ref[0, 0, sl, :]  # (TQ, 1)
-        delta = delta_ref[0, 0, sl, :]
+        # delta = rowsum(dO * out) computed IN-KERNEL from the saved output
+        # block: an XLA-side delta is a full pass over (H,B,T,hd) whose
+        # (H,B,T,1) result XLA lays out with lane-dim 1 (T(1,128)), costing
+        # ~0.7 ms of relayout copies per step at Base bench shapes
+        o_sl = out_ref[0, 0, sl, :]
+        delta = jnp.sum(
+            do.astype(jnp.float32) * o_sl.astype(jnp.float32), axis=-1,
+            keepdims=True,
+        )
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -346,11 +354,11 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
 
 
 def _bwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
-                       lse_ref, delta_ref, do_ref,
+                       lse_ref, out_ref, do_ref,
                        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                        *, rate, q_tile, H, B, has_bias, has_mask):
     _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
-                lse_ref, delta_ref, do_ref,
+                lse_ref, out_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, None, None,
                 dk_acc, dv_acc, None, None, None, None, None,
                 rate=rate, q_tile=q_tile, H=H, B=B,
@@ -393,7 +401,7 @@ def _vmem_check(Tp, Sp, hd, q_tile, itemsize, *, direction: str,
         )
 
 
-def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
+def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, out, do, *,
                   rate, q_tile, interpret):
     H, B, Tp, hd = qh.shape
     Sp = kh.shape[2]
@@ -434,10 +442,10 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, delta, do, *,
         args.append(jnp.zeros((1, 1, 128), jnp.float32))
     in_specs += [
         pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),  # lse
-        pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),  # delta
+        pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # out
         pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dO
     ]
-    args += [lse, delta, do]
+    args += [lse, out, do]
 
     out_specs = [
         pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # dq
@@ -523,11 +531,8 @@ def _core_fwd(rate, q_tile, interpret, qh, kh, vh, biasp, gatep, addmask,
 
 def _core_bwd(rate, q_tile, interpret, res, g):
     qh, kh, vh, biasp, gatep, addmask, seed, out, lse = res
-    delta = jnp.sum(
-        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
-    )
     dq, dk, dv, dbias, dgate = _run_backward(
-        qh, kh, vh, biasp, gatep, addmask, seed, lse, delta,
+        qh, kh, vh, biasp, gatep, addmask, seed, lse, out,
         g.astype(qh.dtype),
         rate=rate, q_tile=q_tile, interpret=interpret,
     )
