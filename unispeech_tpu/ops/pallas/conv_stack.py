@@ -194,20 +194,21 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
     if mask_dy is not None:
         dyw = _mask_rows(dyw, y_start, mask_dy)
 
+    # mask rows beyond the VALID input length ONCE on the window:
+    # storage/Element-padding regions can hold NaN garbage on real silicon,
+    # and NaN * 0 = NaN in a matmul contraction — one NaN garbage row would
+    # poison the whole dW (seen as flaky non-finite grads at small T;
+    # zeroing the row on BOTH contraction sides is the only safe form —
+    # the g-side mask below covers the finite partial-window rows)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (Xw.shape[0], 1), 0)
+    Xw = jnp.where(x_start + xi < valid_in, Xw, 0)
     H = gelu_poly(Xw).astype(Xw.dtype) if gelu_in else Xw
     H2 = H.reshape(H.shape[0] // 2, 2 * C)
-    # mask rows beyond the VALID output length: storage/Element-padding
-    # regions can hold NaN garbage on real silicon, and NaN * 0 = NaN in a
-    # matmul contraction — one NaN garbage row would poison the whole dW
-    # (seen as flaky non-finite grads at small T; zeroing the row on BOTH
-    # contraction sides is the only safe form)
     li = jax.lax.broadcasted_iota(jnp.int32, (ywin, 1), 0)
     m_valid = (y_start + li) < valid_out  # (ywin, 1)
-    he = jnp.where(m_valid, H2[:ywin, :C], 0)   # tap 0 rows for out local l
-    ho = jnp.where(m_valid, H2[:ywin, C:], 0)   # tap 1
-    Hp = [he, ho]
+    Hp = [H2[:ywin, :C], H2[:ywin, C:]]   # taps 0, 1 for out local l
     if k == 3:
-        Hp.append(jnp.where(m_valid, H2[1 : ywin + 1, :C], 0))  # tap 2
+        Hp.append(H2[1 : ywin + 1, :C])   # tap 2
 
     # recompute pre-activations and the post-gelu gradient g
     if gelu_out:
