@@ -50,11 +50,13 @@ BASELINE_AUDIO_SEC_PER_S = 3400.0
 B = int(os.environ.get("BENCH_B", "8"))
 NSAMP = 245_840
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
-# Optimizer steps per dispatch: the tunneled runtime costs ~60-70 ms of
-# host round-trip per dispatch (measured round 3: 100 ms wall vs 33 ms
-# device compute per step); production TPU loops amortize dispatch with an
-# in-graph multi-step scan, so the bench does too.
-INNER = int(os.environ.get("BENCH_INNER", "1"))
+# Optimizer steps per dispatch: ~20 ms/step of un-amortized host dispatch
+# at INNER=1 on this tunneled runtime (R4 trace: 97 ms wall vs 77 ms
+# device). Production TPU loops scan K DISTINCT microbatches per dispatch
+# (train/state.py inner_steps; train/loop.py groups K host batches), so the
+# bench does the same: the batch carries a leading (INNER, ...) axis of
+# different data and each scan iteration is one full optimizer step.
+INNER = int(os.environ.get("BENCH_INNER", "4"))
 
 
 def build_step(b=B, nsamp=NSAMP, remat=REMAT, arch="base"):
@@ -96,8 +98,9 @@ def build_step(b=B, nsamp=NSAMP, remat=REMAT, arch="base"):
 
     T = cfg.encoder.num_frames(nsamp)
     np_rng = np.random.default_rng(0)
-    wav = jnp.asarray(np_rng.standard_normal((b, nsamp)), jnp.float32)
-    targets = jnp.asarray(np_rng.integers(0, 504, (b, T, 1)), jnp.int32)
+    lead = (INNER, b) if INNER > 1 else (b,)
+    wav = jnp.asarray(np_rng.standard_normal(lead + (nsamp,)), jnp.float32)
+    targets = jnp.asarray(np_rng.integers(0, 504, lead + (T, 1)), jnp.int32)
 
     # ---- host-side init: zero TPU compiles. The Pallas kernel has no CPU
     # lowering, so init (whose params are implementation-independent) runs
@@ -140,8 +143,9 @@ def _run_one(arch, b, iters_target=20, tag=""):
     t0 = time.perf_counter()
     state, m = step(state, batch, rng_step)  # the ONE compile per arch
     # NOTE: through the axon tunnel block_until_ready returns early; a host
-    # scalar fetch is the only reliable synchronization point.
-    loss0 = float(m["loss_per_sample"])
+    # scalar fetch is the only reliable synchronization point. With INNER>1
+    # metrics are stacked (INNER,) — fetch the last inner step's loss.
+    loss0 = float(np.asarray(m["loss_per_sample"]).reshape(-1)[-1])
     print(f"# {tag}compile+step0 {time.perf_counter()-t0:.1f}s "
           f"loss={loss0:.3f}", flush=True)
 
@@ -149,7 +153,8 @@ def _run_one(arch, b, iters_target=20, tag=""):
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, rng_step)
-    float(m["loss_per_sample"])  # forces completion of the whole queue
+    # forces completion of the whole queue
+    float(np.asarray(m["loss_per_sample"]).reshape(-1)[-1])
     dt = (time.perf_counter() - t0) / (iters * INNER)
     return b * NSAMP / 16000.0 / dt
 

@@ -205,3 +205,42 @@ def test_hang_watchdog_fires_and_disarms():
     w.disarm()
     _time.sleep(0.3)
     assert w.fired == 1
+
+
+def test_run_training_inner_steps(tmp_path):
+    """inner_steps=2: 3 dispatches -> 6 optimizer updates, each on its own
+    host batch; log/save cadences fire on crossing; final checkpoint at 6."""
+    cfg = HubertPretrainConfig(
+        encoder=TINY,
+        time_mask=MaskConfig(mask_prob=0.5, mask_length=4),
+        num_classes=(10,),
+        final_dim=8,
+    )
+    model = HubertPretrainModel(cfg)
+    tx = make_optimizer(OptimConfig(lr=1e-3, schedule="fixed", clip_norm=1.0))
+    loss_fn = make_hubert_loss_fn(model, HubertCriterionConfig())
+    data = FakeData(n_frames=TINY.num_frames(3200))
+    loop_cfg = LoopConfig(
+        max_updates=6,
+        log_interval=3,  # coprime with inner_steps: crossing logic must fire
+        save_interval_updates=4,
+        validate_interval_updates=0,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        inner_steps=2,
+        prefetch_depth=0,
+        seed=0,
+    )
+    rng = jax.random.PRNGKey(0)
+    state = run_training(
+        model, loss_fn, tx, iter(data), data.batch(0), loop_cfg,
+        init_rngs={"params": rng, "mask": rng},
+        data_state=data,
+    )
+    assert int(state.step) == 6
+    # each dispatch consumed 2 distinct host batches
+    assert data.cursor >= 6
+    steps = sorted(
+        int(os.path.basename(p)) for p in glob.glob(str(tmp_path / "ckpt" / "*"))
+        if os.path.basename(p).isdigit()
+    )
+    assert 4 in steps and 6 in steps

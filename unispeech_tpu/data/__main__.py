@@ -161,14 +161,34 @@ def cmd_cv_manifest(args) -> None:
 
 
 def cmd_binarize_text(args) -> None:
-    """Binarize a tokenized text corpus into the mmap format
-    (reference fairseq-preprocess / Binarizer path for LM corpora)."""
+    """Binarize a text corpus into the mmap format (reference
+    fairseq-preprocess / Binarizer path for LM corpora). --encoder applies a
+    text encoder (byte/char/subword-nmt BPE/sentencepiece,
+    data/text_encoders.py) line-by-line before binarizing — the analog of
+    the reference's encoders preprocessing step."""
     from unispeech_tpu.data.dictionary import Dictionary
     from unispeech_tpu.data.indexed_dataset import binarize_text
+    from unispeech_tpu.data.text_encoders import get_text_encoder
 
     d = Dictionary.load(args.dict)
-    n = binarize_text(args.corpus, d, args.out,
+    enc = get_text_encoder(
+        args.encoder, bpe_codes=args.bpe_codes, spm_model=args.spm_model
+    )
+    corpus = args.corpus
+    if enc is not None:
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(
+            "w", suffix=".txt", delete=False, encoding="utf-8"
+        )
+        with open(args.corpus, encoding="utf-8") as f, tmp:
+            for line in f:
+                tmp.write(enc.encode(line.rstrip("\n")) + "\n")
+        corpus = tmp.name
+    n = binarize_text(corpus, d, args.out,
                       append_eos=not args.no_append_eos)
+    if corpus != args.corpus:
+        os.unlink(corpus)
     print(f"binarized {n} sentences -> {args.out}.bin", file=sys.stderr)
 
 
@@ -209,6 +229,13 @@ def main(argv=None) -> None:
     b.add_argument("--dict", required=True)
     b.add_argument("--out", required=True, help="output stem (.bin/.idx.npz)")
     b.add_argument("--no-append-eos", action="store_true")
+    b.add_argument("--encoder", default="none",
+                   choices=["none", "byte", "char", "bpe", "sentencepiece"],
+                   help="text encoder applied before binarization")
+    b.add_argument("--bpe-codes", default=None,
+                   help="subword-nmt codes file (--encoder bpe)")
+    b.add_argument("--spm-model", default=None,
+                   help="sentencepiece model (--encoder sentencepiece)")
     b.set_defaults(fn=cmd_binarize_text)
 
     args = p.parse_args(argv)

@@ -45,15 +45,33 @@ def edit_distance(a: Sequence, b: Sequence) -> int:
 
 
 def post_process(sentence: str, symbol: str) -> str:
-    """Detokenize (reference data_utils.post_process, data_utils.py:369-391)."""
+    """Detokenize (reference data_utils.post_process, data_utils.py:369-392).
+
+    byte/char route through the matching text encoders
+    (data/text_encoders.py), mirroring how the reference inverts its
+    encoders/bytes.py and encoders/characters.py output."""
     if symbol == "sentencepiece":
         return sentence.replace(" ", "").replace("▁", " ").strip()
     if symbol == "wordpiece":
         return sentence.replace(" ", "").replace("_", " ").strip()
     if symbol == "letter":
         return sentence.replace(" ", "").replace("|", " ").strip()
-    if symbol in ("subword_nmt", "@@ ", "@@"):
+    if symbol == "silence":
+        import re
+
+        return re.sub(" +", " ", sentence.replace("<SIL>", "")).strip()
+    if symbol == "_EOW":
+        return sentence.replace(" ", "").replace("_EOW", " ").strip()
+    if symbol in ("subword_nmt", "bpe", "@@ ", "@@"):
         return (sentence + " ").replace("@@ ", "").rstrip()
+    if symbol == "byte":
+        from unispeech_tpu.data.text_encoders import ByteEncoder
+
+        return ByteEncoder().decode(sentence)
+    if symbol in ("char", "characters"):
+        from unispeech_tpu.data.text_encoders import CharEncoder
+
+        return CharEncoder().decode(sentence)
     if symbol == "none" or symbol is None:
         return sentence
     raise ValueError(f"unknown post_process symbol: {symbol}")

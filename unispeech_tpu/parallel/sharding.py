@@ -117,6 +117,12 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def data_sharding(mesh: Mesh):
-    """Batch-axis sharding for input arrays."""
-    return NamedSharding(mesh, P("data"))
+def data_sharding(mesh: Mesh, n_stack: int = 0):
+    """Batch-axis sharding for input arrays.
+
+    n_stack: number of leading microbatch-stacking axes (accum and/or
+    inner-step grouping, train/loop.py) BEFORE the true batch axis — those
+    are scan axes and must stay unsharded; only the batch axis shards over
+    'data'.
+    """
+    return NamedSharding(mesh, P(*([None] * n_stack), "data"))

@@ -50,6 +50,12 @@ class LoopConfig:
     tensorboard_dir: Optional[str] = None
     # gradient accumulation (reference update_freq, trainer.py:689-705)
     accum_steps: int = 1
+    # optimizer steps per device dispatch: K distinct microbatches are
+    # stacked host-side and scanned in-graph (train/state.py), amortizing
+    # per-dispatch host↔device overhead (dominant on tunneled runtimes).
+    # Orthogonal to accum_steps; cadences fire when crossed, and the loop
+    # may overshoot max_updates by < inner_steps on the last dispatch.
+    inner_steps: int = 1
     # host input pipeline: batches collated ahead of the loop on a background
     # thread (reference DataLoader workers + buffered iterators); 0 disables
     prefetch_depth: int = 4
@@ -103,9 +109,14 @@ def run_training(
                                               if np.ndim(x) == 0 else x,
                                               restored_data))
 
-    step_fn = make_train_step(loss_fn, tx, accum_steps=cfg.accum_steps)
+    step_fn = make_train_step(
+        loss_fn, tx, accum_steps=cfg.accum_steps, inner_steps=cfg.inner_steps
+    )
     if cfg.accum_steps > 1:
         train_batches = group_microbatches(train_batches, cfg.accum_steps)
+    if cfg.inner_steps > 1:
+        # outer grouping: each dispatch consumes (inner_steps, [accum,] ...)
+        train_batches = group_microbatches(train_batches, cfg.inner_steps)
     if cfg.prefetch_depth > 0:
         from unispeech_tpu.data.prefetch import prefetch
 
@@ -136,28 +147,38 @@ def run_training(
 
     step_rng = jax.random.fold_in(rng, 0xBEEF)
     num_updates = int(start_step)
-    # most recent validation metrics; carried forward to EVERY save so
-    # best-checkpoint selection stays meaningful when save/validate
-    # intervals are misaligned (a save without metrics would otherwise be
-    # scored as "no metric" by the manager)
-    last_val_metrics: Optional[Dict[str, float]] = None
+    # metrics from the most recent validation, consumed by the FIRST save
+    # that follows it (fairseq scores checkpoints only at validation time,
+    # checkpoint_utils.py save_checkpoint). Carrying them to every save let
+    # an unvalidated checkpoint tie the true best on a stale score; saves
+    # with no pending validation carry None and score ±inf in the manager.
+    pending_val_metrics: Optional[Dict[str, float]] = None
+    n_stack = int(cfg.accum_steps > 1) + int(cfg.inner_steps > 1)
     for batch in train_batches:
         if num_updates >= cfg.max_updates:
             break
-        sharded = shard_batch(_as_device_batch(batch), mesh)
+        sharded = shard_batch(_as_device_batch(batch), mesh, n_stack)
         timer.start()
         if hang is not None:
             hang.arm()
         state, metrics = step_fn(state, sharded, step_rng)
         timer.stop()
-        num_updates += 1
+        k_steps = cfg.inner_steps
+        num_updates += k_steps
         # agg.update() fetches the metric scalars — the step's device sync
         # point, so the watchdog window covers actual device execution
-        agg.update(metrics)
+        if k_steps > 1:
+            # metrics carry a leading (inner_steps,) axis: one entry per
+            # optimizer step taken inside the dispatch
+            host_metrics = jax.device_get(metrics)
+            for k in range(k_steps):
+                agg.update(jax.tree.map(lambda m: m[k], host_metrics))
+        else:
+            agg.update(metrics)
         if hang is not None:
             hang.disarm()
 
-        if num_updates % cfg.log_interval == 0:
+        if _crossed(num_updates, k_steps, cfg.log_interval):
             stats = agg.snapshot()
             stats["updates"] = num_updates
             stats["step_time_avg_s"] = timer.avg
@@ -178,7 +199,7 @@ def run_training(
 
         if (
             cfg.validate_interval_updates
-            and num_updates % cfg.validate_interval_updates == 0
+            and _crossed(num_updates, k_steps, cfg.validate_interval_updates)
             and valid_batches_fn is not None
             and eval_fn is not None
         ):
@@ -188,15 +209,20 @@ def run_training(
             )
             vlogger.log(num_updates, vstats)
             if cfg.best_metric in vstats:
-                last_val_metrics = {cfg.best_metric: float(vstats[cfg.best_metric])}
+                pending_val_metrics = {
+                    cfg.best_metric: float(vstats[cfg.best_metric])
+                }
 
-        if cfg.save_interval_updates and num_updates % cfg.save_interval_updates == 0:
+        if cfg.save_interval_updates and _crossed(
+            num_updates, k_steps, cfg.save_interval_updates
+        ):
             ckpt.save(
                 num_updates,
                 state,
                 data_state=data_obj.state_dict() if data_obj is not None else None,
-                metrics=last_val_metrics,
+                metrics=pending_val_metrics,
             )
+            pending_val_metrics = None
 
     if hasattr(train_batches, "close"):
         train_batches.close()
@@ -204,7 +230,7 @@ def run_training(
         num_updates,
         state,
         data_state=data_obj.state_dict() if data_obj is not None else None,
-        metrics=last_val_metrics,
+        metrics=pending_val_metrics,
     )
     ckpt.wait()
     ckpt.close()
@@ -215,6 +241,12 @@ def run_training(
     logger.close()
     vlogger.close()
     return state
+
+
+def _crossed(num_updates: int, k_steps: int, interval: int) -> bool:
+    """Did the last dispatch (which advanced by k_steps) cross a multiple of
+    interval? With k_steps == 1 this is exactly `num_updates % interval == 0`."""
+    return (num_updates // interval) > ((num_updates - k_steps) // interval)
 
 
 def group_microbatches(batches: Iterable[Dict], k: int) -> Iterable[Dict]:

@@ -64,11 +64,16 @@ def make_train_step(
     size — exactly equivalent to one step on the concatenated batch.
 
     inner_steps > 1 runs K FULL optimizer steps per dispatch under one
-    `lax.scan` (each on the same host-provided batch pytree, with the
-    per-step RNG folded from the advancing state.step). Host↔device
-    round-trips per optimizer step are the dominant cost on tunneled /
-    high-latency runtimes; production TPU loops amortize them exactly this
-    way. Metrics returned are the LAST inner step's.
+    `lax.scan`, each consuming a DISTINCT microbatch: the batch pytree must
+    carry a leading (inner_steps, ...) axis (stack K consecutive host
+    batches, like the accum path — both may be combined, giving
+    (inner_steps, accum_steps, ...)). The per-step RNG is folded from the
+    advancing state.step, so dropout/masking streams match K separate
+    dispatches exactly. Host↔device round-trips per optimizer step are the
+    dominant cost on tunneled / high-latency runtimes; production TPU loops
+    amortize them exactly this way. Metrics come back STACKED with a
+    leading (inner_steps,) axis — one entry per optimizer step — so host
+    logging sees every update, not just the last.
     """
 
     def raw_objective(params, batch, rng, step):
@@ -123,15 +128,14 @@ def make_train_step(
         return new_state, metrics
 
     if inner_steps > 1:
-        def multi_step(state: TrainState, batch, rng):
-            def body(st, _):
-                return step_fn(st, batch, rng)
+        def outer(state: TrainState, batch, rng):
+            def body(st, mb):
+                return step_fn(st, mb, rng)
 
-            return jax.lax.scan(body, state, None, length=inner_steps)
-
-        def outer(state, batch, rng):
-            state, ms = multi_step(state, batch, rng)
-            return state, jax.tree.map(lambda m: m[-1], ms)
+            # scan slices the leading (inner_steps, ...) axis: microbatch k
+            # feeds optimizer step k; rng uniqueness comes from the
+            # state.step fold inside step_fn
+            return jax.lax.scan(body, state, batch, length=inner_steps)
 
         donate = (0,) if donate_state else ()
         return jax.jit(outer, donate_argnums=donate)
@@ -182,5 +186,7 @@ def shard_train_state(
     return jax.device_put(state, state_shardings)
 
 
-def shard_batch(batch, mesh: Mesh):
-    return jax.device_put(batch, data_sharding(mesh))
+def shard_batch(batch, mesh: Mesh, n_stack: int = 0):
+    """Place a host batch on the mesh; n_stack leading axes (accum / inner
+    microbatch grouping) stay unsharded, the batch axis shards over 'data'."""
+    return jax.device_put(batch, data_sharding(mesh, n_stack))
