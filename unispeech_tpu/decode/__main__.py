@@ -29,7 +29,10 @@ import numpy as np
 def _parse_args(argv=None):
     p = argparse.ArgumentParser("unispeech_tpu.decode")
     p.add_argument("--manifest", required=True, help="eval TSV manifest")
-    p.add_argument("--checkpoint", required=True, help="fine-tuned params .npz")
+    p.add_argument("--checkpoint", required=True, nargs="+",
+                   help="fine-tuned params .npz; pass several to decode an "
+                        "ensemble (log-prob average on device, reference "
+                        "infer.py:281 load_model_ensemble)")
     p.add_argument("--transcripts", default=None,
                    help="reference transcripts, one letter-format line per "
                         "manifest row; omit for hypothesis-only decoding")
@@ -191,7 +194,9 @@ def run_seq2seq(args) -> None:
         dec = dataclasses.replace(dec, **json.loads(args.decoder_json))
     cfg = Seq2SeqConfig(encoder=enc, decoder=dec, apply_mask=False)
     model = Seq2SeqModel(cfg, dtype=jnp.bfloat16)
-    params = load_params_npz(args.checkpoint)
+    if len(args.checkpoint) > 1:
+        sys.exit("--decoder seq2seq supports a single checkpoint")
+    params = load_params_npz(args.checkpoint[0])
     eos = d.eos()
 
     @jax.jit
@@ -304,14 +309,28 @@ def main(argv=None) -> None:
         enc = dataclasses.replace(enc, **over)
     cfg = CtcFinetuneConfig(encoder=enc, vocab_size=len(d), apply_mask=False)
     model = CtcFinetuneModel(cfg, dtype=jnp.bfloat16)
-    params = load_params_npz(args.checkpoint)
+    # ensemble: N same-architecture checkpoints, log-probs averaged in
+    # probability space on device (reference EnsembleModel,
+    # sequence_generator.py:756-767: logsumexp over models - log N;
+    # checkpoints loaded as in checkpoint_utils.py:384)
+    params_list = [load_params_npz(p) for p in args.checkpoint]
 
     @jax.jit
     def emissions(source, lengths):
-        out = model.apply(
-            {"params": params}, source, lengths=lengths, deterministic=True
+        lps = []
+        flen = None
+        for params in params_list:
+            out = model.apply(
+                {"params": params}, source, lengths=lengths, deterministic=True
+            )
+            lps.append(jax.nn.log_softmax(out.logits, axis=-1))
+            flen = out.frame_lengths
+        if len(lps) == 1:
+            return lps[0], flen
+        lp = jax.nn.logsumexp(jnp.stack(lps), axis=0) - jnp.log(
+            float(len(lps))
         )
-        return jax.nn.log_softmax(out.logits, axis=-1), out.frame_lengths
+        return lp, flen
 
     man = Manifest.load(args.manifest)
     sizes = np.asarray(man.sizes)

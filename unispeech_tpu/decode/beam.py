@@ -214,11 +214,27 @@ class CtcBeamDecoder:
 
 
 class KenLMWrapper:
-    """Word n-gram LM via kenlm, if installed (gated — reference requires it,
-    w2l_decoder.py:176-183; we degrade to lexicon-only beam)."""
+    """Word n-gram LM via kenlm when installed (reference requires it,
+    w2l_decoder.py:176-183); text .arpa models fall back to the in-tree
+    pure-python ArpaLM (decode/arpa.py) so KenLM-style decoding works
+    without the C++ package. Binary .bin models still need kenlm."""
+
+    def __new__(cls, path: str):
+        try:
+            import kenlm  # noqa: gated import
+        except ImportError:
+            if path.endswith(".bin"):
+                raise ImportError(
+                    "binary KenLM models need the kenlm package; "
+                    "text .arpa works without it"
+                )
+            from unispeech_tpu.decode.arpa import ArpaLM
+
+            return ArpaLM(path)
+        return super().__new__(cls)
 
     def __init__(self, path: str):
-        import kenlm  # noqa: gated import
+        import kenlm
 
         self.model = kenlm.Model(path)
 

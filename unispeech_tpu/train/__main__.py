@@ -319,11 +319,24 @@ def cmd_finetune_ctc(args) -> None:
             )
             return vdata.epoch_batches(1)
 
+        valid_lexicon = None
+        if args.valid_lexicon:
+            from unispeech_tpu.decode.__main__ import load_lexicon
+
+            raw = load_lexicon(args.valid_lexicon)
+            valid_lexicon = {
+                w: [[d.index(u) for u in sp] for sp in sps]
+                for w, sps in raw.items()
+            }
         valid_kw = dict(
             valid_batches_fn=valid_batches_fn,
             eval_loss_fn=make_ctc_finetune_loss_fn(model, deterministic=True),
             valid_decode_fn=make_ctc_valid_decode_fn(
-                model, d, post_process_symbol=args.post_process
+                model, d, post_process_symbol=args.post_process,
+                decoder=args.valid_decoder, beam=args.valid_beam,
+                lexicon=valid_lexicon, lm_path=args.valid_lm_model,
+                lm_weight=args.valid_lm_weight,
+                word_score=args.valid_word_score,
             ),
         )
 
@@ -570,6 +583,19 @@ def main(argv=None) -> None:
                     choices=["loss_avg", "wer", "uer"],
                     help="checkpoint-selection metric (reference "
                          "best_checkpoint_metric=wer)")
+    fc.add_argument("--valid-decoder", default="greedy",
+                    choices=["greedy", "beam", "kenlm"],
+                    help="dev decode for valid-time WER: greedy argmax "
+                         "(criterion default) or beam/KenLM via the "
+                         "offline decoder (reference wer_args, "
+                         "ctc.py:86-104)")
+    fc.add_argument("--valid-beam", type=int, default=50)
+    fc.add_argument("--valid-lexicon", default=None,
+                    help="word -> units lexicon for the valid beam decode")
+    fc.add_argument("--valid-lm-model", default=None,
+                    help="KenLM .arpa/.bin for --valid-decoder kenlm")
+    fc.add_argument("--valid-lm-weight", type=float, default=2.0)
+    fc.add_argument("--valid-word-score", type=float, default=-1.0)
     fc.add_argument("--post-process", default="letter",
                     help="hyp/ref detokenization rule")
     fc.add_argument("--validate-interval-updates", type=int, default=None)

@@ -149,19 +149,49 @@ def make_ctc_finetune_loss_fn(model: CtcFinetuneModel, deterministic=False):
     return loss_fn
 
 
-def make_ctc_valid_decode_fn(model, dictionary, post_process_symbol="letter"):
-    """Valid-time greedy CTC decode + WER/UER scoring, mirroring the dev
-    scoring inside the reference CTC criterion
+def make_ctc_valid_decode_fn(
+    model,
+    dictionary,
+    post_process_symbol="letter",
+    decoder: str = "greedy",
+    beam: int = 50,
+    lexicon=None,  # {word: [[unit ids], ...]} (pre-indexed) or None
+    lm_path=None,  # KenLM .arpa/.bin (decoder="kenlm")
+    lm_weight: float = 2.0,
+    word_score: float = -1.0,
+):
+    """Valid-time CTC decode + WER/UER scoring, mirroring the dev scoring
+    inside the reference CTC criterion
     (/root/reference/src/fairseq/criterions/ctc.py:161-233) that drives
     `best_checkpoint_metric=wer` in every fine-tune recipe.
+
+    decoder="greedy" is the criterion's default argmax path; "beam" and
+    "kenlm" reuse the offline CtcBeamDecoder so checkpoint selection can
+    run on LM-decoded WER, matching the reference's `wer_args` 4-gram
+    KenLM dev decoding (ctc.py:86-104, w2l_decoder.py W2lKenLMDecoder).
 
     Returns (state, batch) -> {"wer_errs", "wer_len", "uer_errs",
     "uer_len"} error/length SUMS for MetricsAggregator; run_validation
     derives the percentages."""
-    from unispeech_tpu.decode.beam import best_path_decode
     from unispeech_tpu.decode.wer import WerScorer, post_process
 
     import numpy as np
+
+    blank = dictionary.blank()
+    beam_decoder = None
+    if decoder != "greedy":
+        from unispeech_tpu.decode.beam import CtcBeamDecoder, KenLMWrapper
+
+        lm = None
+        if decoder == "kenlm":
+            if not lm_path:
+                raise ValueError("valid decoder 'kenlm' needs an LM path")
+            lm = KenLMWrapper(lm_path)
+        sil = dictionary.index("|") if "|" in dictionary else None
+        beam_decoder = CtcBeamDecoder(
+            beam=beam, blank_id=blank, silence_id=sil, lexicon=lexicon,
+            lm=lm, lm_weight=lm_weight, word_score=word_score,
+        )
 
     @jax.jit
     def greedy(params, source, lengths):
@@ -170,9 +200,41 @@ def make_ctc_valid_decode_fn(model, dictionary, post_process_symbol="letter"):
         )
         return jnp.argmax(out.logits, axis=-1), out.frame_lengths
 
-    blank = dictionary.blank()
+    @jax.jit
+    def emissions(params, source, lengths):
+        out = model.apply(
+            {"params": params}, source, lengths, deterministic=True
+        )
+        return jax.nn.log_softmax(out.logits, axis=-1), out.frame_lengths
 
     def decode_fn(state, batch):
+        if beam_decoder is not None:
+            lp, flens = emissions(
+                state.params, batch["source"], batch.get("lengths")
+            )
+            lp = np.asarray(lp, dtype=np.float32)
+            flens = np.asarray(flens)
+            labels = np.asarray(batch["labels"])
+            label_lengths = np.asarray(batch["label_lengths"])
+            sc = WerScorer()
+            for b in range(lp.shape[0]):
+                nbest = beam_decoder.decode(lp[b], int(flens[b]))
+                units, words, _ = nbest[0] if nbest else ([], [], 0.0)
+                hyp = (
+                    " ".join(words)
+                    if words
+                    else post_process(dictionary.string(units),
+                                      post_process_symbol)
+                )
+                ref_ids = labels[b, : int(label_lengths[b])].tolist()
+                ref = post_process(dictionary.string(ref_ids),
+                                   post_process_symbol)
+                sc.add(hyp, ref)
+            return {
+                "wer_errs": float(sc.w_errs), "wer_len": float(sc.w_len),
+                "uer_errs": float(sc.c_errs), "uer_len": float(sc.c_len),
+            }
+
         ids, flens = greedy(
             state.params, batch["source"], batch.get("lengths")
         )
