@@ -15,6 +15,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -188,5 +189,21 @@ def shard_train_state(
 
 def shard_batch(batch, mesh: Mesh, n_stack: int = 0):
     """Place a host batch on the mesh; n_stack leading axes (accum / inner
-    microbatch grouping) stay unsharded, the batch axis shards over 'data'."""
-    return jax.device_put(batch, data_sharding(mesh, n_stack))
+    microbatch grouping) stay unsharded, the batch axis shards over 'data'.
+
+    Single-process: a plain device_put. Multi-process (jax.distributed):
+    each process holds only ITS data shard (the iterators slice with
+    num_shards=jax.process_count(), train/__main__.py), so the global array
+    is assembled from per-process local batches — the GSPMD analog of the
+    reference's per-rank DataLoader shards (fairseq ShardedIterator,
+    iterators.py:degenerate DDP sharding). The global batch is
+    local_batch * process_count along the batch axis."""
+    sharding = data_sharding(mesh, n_stack)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
