@@ -87,6 +87,10 @@ def build_step(b=B, nsamp=NSAMP, remat=REMAT, arch="base"):
         # scan-remat path — exactly what it exists for (SURVEY §6)
         remat_layers=remat or arch == "large",
         remat_ffn=True,
+        # Base: unrolled layers (no scan dW-stack DUS copies; 97.5 -> 82.4
+        # ms/step measured r5). Large keeps scan for scan-remat + compile.
+        scan_layers=os.environ.get("BENCH_SCAN", "0") == "1"
+        or arch == "large",
     )
     cfg = HubertPretrainConfig(
         encoder=enc,

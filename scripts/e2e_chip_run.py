@@ -11,7 +11,7 @@ with learnability guaranteed by construction (CTC WER must approach 0 on a
 separable corpus; pretrain loss must fall).
 
 Run: python scripts/e2e_chip_run.py [workdir]
-Records E2E_CHIP_r04.json at the repo root.
+Records E2E_CHIP_r05.json at the repo root.
 """
 
 import contextlib
@@ -106,7 +106,7 @@ def write_wav(path, wav):
         w.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
 
 
-def build_corpus(root, n_train=64, n_eval=12):
+def build_corpus(root, n_train=96, n_eval=16):
     """Write wavs + transcripts, then index them with the PUBLIC manifest
     tool (`python -m unispeech_tpu.data manifest`) instead of inline TSV
     writing — the same entry ramp a real-corpus user takes."""
@@ -213,11 +213,11 @@ def main():
         "--min-sample-size", "8000",
         "--num-buckets", "2",
         "--max-tokens", "400000",
-        "--max-updates", "60",
-        "--warmup-steps", "20",
+        "--max-updates", "100",
+        "--warmup-steps", "30",
         "--lr", "3e-4",
         "--log-interval", "10",
-        "--save-interval-updates", "60",
+        "--save-interval-updates", "100",
         "--checkpoint-dir", pre_dir,
         "--export-params", pre_npz,
     ])
@@ -242,11 +242,12 @@ def main():
         "--min-sample-size", "8000",
         "--num-buckets", "2",
         "--max-tokens", "400000",
-        "--max-updates", "1500",
-        "--warmup-steps", "150",
+        "--max-updates", "3500",
+        "--warmup-steps", "300",
         "--lr", "1e-3",
         "--clip-norm", "10",
-        "--mask-prob", "0.2",
+        "--mask-prob", "0.1",
+        "--inner-steps", "2",
         "--freeze-finetune-updates", "0",
         "--log-interval", "100",
         "--save-interval-updates", "500",
@@ -292,7 +293,7 @@ def main():
     record["total_seconds"] = round(time.time() - t_all, 1)
     record["device"] = str(jax.devices()[0])
 
-    with open(os.path.join(REPO, "E2E_CHIP_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "E2E_CHIP_r05.json"), "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record, indent=1), flush=True)
 

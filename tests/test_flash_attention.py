@@ -91,3 +91,69 @@ def test_fused_gradients_match_reference(bias, gate):
 # dropout tests live in tests_tpu/test_flash_tpu.py (determinism,
 # statistics, mean-field, and backward-vs-recovered-mask gradients) and
 # run via `pytest tests_tpu/ -q` on the chip (scripts/verify_flash_tpu.py).
+
+
+def _chunk_mask(T, S, chunk=32):
+    """Chunked-causal additive mask: queries attend within their chunk and
+    all previous chunks (the reference's streaming_mask shape,
+    /root/reference/WavLM/WavLM.py:698,730)."""
+    qc = np.arange(T)[:, None] // chunk
+    kc = np.arange(S)[None, :] // chunk
+    return jnp.asarray(np.where(kc > qc, -1e30, 0.0), jnp.float32)
+
+
+@pytest.mark.parametrize("bias,gate,kpm", [
+    (True, True, True),
+    (True, False, False),
+    (False, False, True),
+])
+def test_fused_streaming_mask_matches_reference(bias, gate, kpm):
+    """(T, S) additive streaming/chunked mask streamed through the kernel
+    (round-4 verdict item 7): forward parity vs the XLA path."""
+    args = _make(B=2, T=100, S=100, H=2, hd=16, bias=bias, gate=gate,
+                 mask=kpm)
+    q, k, v, b, g, kpmask = args
+    am = _chunk_mask(100, 100)
+
+    def ref_with_mask():
+        bias_ = None
+        if b is not None:
+            bias_ = b.astype(jnp.float32)[None]
+            if g is not None:
+                bias_ = g[..., None] * bias_
+        am_ = am[None, None]
+        bias_ = am_ if bias_ is None else bias_ + am_
+        return multihead_attention(q, k, v, bias=bias_,
+                                   key_padding_mask=kpmask,
+                                   deterministic=True)
+
+    ref = ref_with_mask()
+    got = fused_attention(q, k, v, b, g, kpmask, attn_mask=am,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_streaming_mask_gradients():
+    q, k, v, b, g, kpm = _make(B=1, T=64, S=64, H=2, hd=16)
+    am = _chunk_mask(64, 64, chunk=16)
+
+    def loss_fused(q_, k_, v_, b_, g_):
+        return jnp.sum(
+            fused_attention(q_, k_, v_, b_, g_, kpm, attn_mask=am,
+                            interpret=True) ** 2
+        )
+
+    def loss_ref(q_, k_, v_, b_, g_):
+        bias_ = g_[..., None] * b_.astype(jnp.float32)[None] + am[None, None]
+        return jnp.sum(
+            multihead_attention(q_, k_, v_, bias=bias_,
+                                key_padding_mask=kpm,
+                                deterministic=True) ** 2
+        )
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, b, g)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, b, g)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

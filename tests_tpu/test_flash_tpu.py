@@ -241,3 +241,42 @@ def test_conv_chain_grads_finite_small_T():
             assert bool(
                 jnp.isfinite(leaf.astype(jnp.float32)).all()
             ), f"non-finite conv-chain gradient (trial {trial})"
+
+
+def test_streaming_mask_parity_on_chip():
+    """Chunked-causal (T, S) mask streamed through the Mosaic-compiled
+    kernels (round-4 verdict item 7): fwd + grads vs the XLA path."""
+    q, k, v, b, g = _make()
+    qc = np.arange(T)[:, None] // 64
+    kc = np.arange(T)[None, :] // 64
+    am = jnp.asarray(np.where(kc > qc, -1e30, 0.0), jnp.float32)
+
+    def ref(q_, k_, v_, b_, g_):
+        bias = g_[..., None] * b_[None].astype(jnp.float32) + am[None, None]
+        return multihead_attention(q_, k_, v_, bias=bias, deterministic=True)
+
+    got = jax.jit(
+        lambda *a: fused_attention(*a, attn_mask=am)
+    )(q, k, v, b, g)
+    want = jax.jit(ref)(q, k, v, b, g)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+    def loss_fused(q_, k_, v_, b_, g_):
+        return jnp.sum(
+            fused_attention(q_, k_, v_, b_, g_, attn_mask=am)
+            .astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(q_, k_, v_, b_, g_):
+        return jnp.sum(ref(q_, k_, v_, b_, g_).astype(jnp.float32) ** 2)
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4)))(q, k, v, b, g)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4)))(q, k, v, b, g)
+    for a, e in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(e, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )

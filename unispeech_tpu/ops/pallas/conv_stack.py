@@ -280,13 +280,21 @@ def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy):
     # assembly, valid-row masks); tile 512 exceeds the 16 MB scoped-VMEM
     # limit by ~1.7 MB, and the 384 tile costs <2% (tile sweep in R4 notes)
     tile = min(tile, 384)
+    # the 8 * max(k - 1, 0) start maps below only tile over multiples of 8
+    assert tile % 8 == 0, tile
     nt = pl.cdiv(Ts, 2 * tile)
     grid = (B, nt)
     if k == 3:
         xwin = 2 * tile + 24
         ywin = tile + 8
-        xpad = max(0, 2 * tile * (nt - 1) - 16 + xwin - Ts)
-        ypad = max(0, tile * (nt - 1) - 8 + ywin - Ry)
+        # declared high pad must cover the FURTHEST window end across all
+        # tiles, including the t == 0 clamp (start = max(2*tile*t - 16, 0));
+        # with nt == 1 the only window starts at 0, so the -16 shift must
+        # not be assumed (round-4 advisor finding #1)
+        x_last = max(2 * tile * (nt - 1) - 16, 0)
+        y_last = max(tile * (nt - 1) - 8, 0)
+        xpad = max(0, x_last + xwin - Ts)
+        ypad = max(0, y_last + ywin - Ry)
         # starts written as 8 * max(..., 0) so Mosaic can PROVE the 8-tiling
         # divisibility (it cannot reason through max(8k - 8, 0) directly)
         x_spec = pl.BlockSpec(

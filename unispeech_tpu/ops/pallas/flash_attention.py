@@ -25,8 +25,12 @@ MXU), so the design minimizes full-(T, S) elementwise passes:
 Compile-time / VMEM discipline (16 MB scoped-VMEM limit, remote AOT
 compiles): batch and head are GRID axes — kernel bodies contain no Python
 batch loop — and the (Tp, Sp) bias input / dbias output live in HBM
-(`pl.ANY`), streamed stripe-by-stripe with double-buffered manual DMA
-instead of BlockSpec pipeline buffers.
+(`pl.ANY`). When the whole per-head (Tp, Sp) bias fits in scoped VMEM it is
+made RESIDENT: DMA'd once per head (batch is the inner grid axis; scratch
+persists across programs) and re-read from VMEM by batch rows 1..B-1 —
+r5 change that removes the B-fold redundant HBM bias reads of the stripe
+scheme (~99 MB/layer each way at Base bench shapes). Longer sequences fall
+back to the original stripe-by-stripe double-buffered DMA.
 
 Layout: (H, B, Tp, hd), grid (H, B), batch innermost: the per-head bias is
 reused across the batch axis, K/V are DMA'd once per (h, b), and dbias
@@ -78,9 +82,11 @@ def _keep_scale(shape, rate: float):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
-                o_ref, lse_ref, bias_buf, sem_in,
+                amask_hbm, o_ref, lse_ref, bias_buf, sem_in,
+                amask_buf, sem_am,
                 *, rate: float, q_tile: int, H: int,
-                has_bias: bool, has_mask: bool):
+                has_bias: bool, has_mask: bool, has_amask: bool,
+                resident: bool):
     h = pl.program_id(0)
     b = pl.program_id(1)
     Tp = q_ref.shape[2]
@@ -93,8 +99,39 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
             sem_in.at[slot],
         )
 
-    if has_bias:
-        bias_dma(0, 0).start()
+    def amask_dma(slot, qi):
+        # (Tp, Sp) additive streaming/chunked mask, shared across (h, b):
+        # streamed stripe-by-stripe exactly like the bias (reference
+        # streaming_mask, wavlm.py:698,730)
+        return pltpu.make_async_copy(
+            amask_hbm.at[pl.ds(qi * q_tile, q_tile), :],
+            amask_buf.at[slot],
+            sem_am.at[slot],
+        )
+
+    if resident:
+        # whole-head residency: the per-head (Tp, Sp) bias is DMA'd into
+        # VMEM ONCE (batch is the inner grid axis; scratch persists across
+        # programs), so batch rows 1..B-1 re-read it from VMEM instead of
+        # HBM — at Base bench shapes this cuts the bias read traffic per
+        # layer from B*H*Tp*Sp to H*Tp*Sp (~99 MB/layer saved each way)
+        if has_bias:
+            @pl.when(b == 0)
+            def _():
+                cp = pltpu.make_async_copy(bias_hbm.at[h], bias_buf, sem_in)
+                cp.start()
+                cp.wait()
+        if has_amask:
+            @pl.when((h == 0) & (b == 0))
+            def _():
+                cp = pltpu.make_async_copy(amask_hbm, amask_buf, sem_am)
+                cp.start()
+                cp.wait()
+    else:
+        if has_bias:
+            bias_dma(0, 0).start()
+        if has_amask:
+            amask_dma(0, 0).start()
 
     k = k_ref[0, 0]  # (Sp, hd)
     v = v_ref[0, 0]
@@ -106,11 +143,24 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (TQ, Sp)
         if has_bias:
-            if qi + 1 < NQ:
-                bias_dma((qi + 1) % 2, qi + 1).start()
-            bias_dma(qi % 2, qi).wait()
+            if resident:
+                bias_blk = bias_buf[sl, :]
+            else:
+                if qi + 1 < NQ:
+                    bias_dma((qi + 1) % 2, qi + 1).start()
+                bias_dma(qi % 2, qi).wait()
+                bias_blk = bias_buf[qi % 2]
             gate = gate_ref[0, 0, sl, :].astype(jnp.float32)  # (TQ, 1)
-            s = s + gate * bias_buf[qi % 2].astype(jnp.float32)
+            s = s + gate * bias_blk.astype(jnp.float32)
+        if has_amask:
+            if resident:
+                amask_blk = amask_buf[sl, :]
+            else:
+                if qi + 1 < NQ:
+                    amask_dma((qi + 1) % 2, qi + 1).start()
+                amask_dma(qi % 2, qi).wait()
+                amask_blk = amask_buf[qi % 2]
+            s = s + amask_blk.astype(jnp.float32)  # (TQ, Sp)
         if has_mask:
             s = s + mask_ref[0].astype(jnp.float32)  # (1, Sp) broadcasts
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -128,24 +178,42 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
         lse_ref[0, 0, sl, 0] = (m + jnp.log(l))[:, 0]
 
 
-def _fwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
-                       o_ref, lse_ref, *, rate, q_tile, H, has_bias,
-                       has_mask):
-    _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
-                o_ref, lse_ref, None, None,
-                rate=rate, q_tile=q_tile, H=H, has_bias=False,
-                has_mask=has_mask)
+def _fwd_dispatch(seed_ref, q_ref, k_ref, v_ref, *rest,
+                  rate, q_tile, H, has_bias, has_mask, has_amask, resident):
+    """Unpack the optional-arg layout (pallas passes inputs/outputs/scratch
+    positionally) and call the explicit-signature kernel body."""
+    i = 0
+    bias_hbm = gate_ref = None
+    if has_bias:
+        bias_hbm, gate_ref = rest[i], rest[i + 1]
+        i += 2
+    mask_ref = rest[i]
+    amask_hbm = rest[i + 1]
+    o_ref, lse_ref = rest[i + 2], rest[i + 3]
+    scratch = list(rest[i + 4:])
+    bias_buf = sem_in = amask_buf = sem_am = None
+    if has_bias:
+        bias_buf, sem_in = scratch.pop(0), scratch.pop(0)
+    if has_amask:
+        amask_buf, sem_am = scratch.pop(0), scratch.pop(0)
+    _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
+                amask_hbm, o_ref, lse_ref, bias_buf, sem_in,
+                amask_buf, sem_am,
+                rate=rate, q_tile=q_tile, H=H, has_bias=has_bias,
+                has_mask=has_mask, has_amask=has_amask, resident=resident)
 
 
-def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
+def _run_forward(qh, kh, vh, biasp, gatep, addmask, amaskp, seed, *,
                  rate, q_tile, interpret):
     H, B, Tp, hd = qh.shape
     Sp = kh.shape[2]
     has_bias = biasp is not None
     has_mask = addmask is not None
-    if not interpret:
-        _vmem_check(Tp, Sp, hd, q_tile, qh.dtype.itemsize,
-                    direction="fwd", has_bias=has_bias)
+    has_amask = amaskp is not None
+    resident = _choose_resident(
+        Tp, Sp, hd, q_tile, qh.dtype.itemsize, direction="fwd",
+        has_bias=has_bias, has_amask=has_amask, interpret=interpret,
+    )
 
     def hb_map(h, b, *_):
         return (h, b, 0, 0)
@@ -167,8 +235,10 @@ def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
         ]
         args += [biasp, gatep]
         scratch = [
-            pltpu.VMEM((2, q_tile, Sp), biasp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((Tp, Sp) if resident else (2, q_tile, Sp),
+                       biasp.dtype),
+            pltpu.SemaphoreType.DMA if resident
+            else pltpu.SemaphoreType.DMA((2,)),
         ]
     if has_mask:
         in_specs.append(
@@ -182,10 +252,23 @@ def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
                          memory_space=pltpu.VMEM)
         )
         args.append(jnp.zeros((1, 1, 128), jnp.float32))
+    # (Tp, Sp) streaming/chunked mask stays in HBM; dummy when absent
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if has_amask:
+        args.append(amaskp)
+        scratch += [
+            pltpu.VMEM((Tp, Sp) if resident else (2, q_tile, Sp),
+                       amaskp.dtype),
+            pltpu.SemaphoreType.DMA if resident
+            else pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        args.append(jnp.zeros((1, 128), jnp.float32))
 
     kernel = functools.partial(
-        _fwd_kernel if has_bias else _fwd_kernel_nobias,
+        _fwd_dispatch,
         rate=rate, q_tile=q_tile, H=H, has_bias=has_bias, has_mask=has_mask,
+        has_amask=has_amask, resident=resident,
     )
 
     out, lse = pl.pallas_call(
@@ -221,12 +304,13 @@ def _run_forward(qh, kh, vh, biasp, gatep, addmask, seed, *,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
-                lse_ref, out_ref, do_ref,
+                amask_hbm, lse_ref, out_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dgate_ref, dbias_hbm,
                 dk_acc, dv_acc, dbias_acc, bias_buf, dbias_stage,
-                sem_in, sem_out,
+                sem_in, sem_out, amask_buf, sem_am,
                 *, rate: float, q_tile: int, H: int, B: int,
-                has_bias: bool, has_mask: bool):
+                has_bias: bool, has_mask: bool, has_amask: bool,
+                resident: bool):
     """One (head, batch-row) program; loops q-stripes of size q_tile.
 
     Gradient math (dropout folded in): with p = exp(s - lse) (the softmax
@@ -256,8 +340,33 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
             sem_in.at[slot],
         )
 
-    if has_bias:
-        bias_dma(0, 0).start()
+    def amask_dma(slot, qi):
+        return pltpu.make_async_copy(
+            amask_hbm.at[pl.ds(qi * q_tile, q_tile), :],
+            amask_buf.at[slot],
+            sem_am.at[slot],
+        )
+
+    if resident:
+        # whole-head bias residency (see _fwd_kernel): one HBM read per
+        # head instead of per (head, batch)
+        if has_bias:
+            @pl.when(b == 0)
+            def _():
+                cp = pltpu.make_async_copy(bias_hbm.at[h], bias_buf, sem_in)
+                cp.start()
+                cp.wait()
+        if has_amask:
+            @pl.when((h == 0) & (b == 0))
+            def _():
+                cp = pltpu.make_async_copy(amask_hbm, amask_buf, sem_am)
+                cp.start()
+                cp.wait()
+    else:
+        if has_bias:
+            bias_dma(0, 0).start()
+        if has_amask:
+            amask_dma(0, 0).start()
 
     k = k_ref[0, 0]  # (Sp, hd)
     v = v_ref[0, 0]
@@ -281,12 +390,23 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if has_bias:
-            if qi + 1 < NQ:
-                bias_dma((qi + 1) % 2, qi + 1).start()
-            bias_dma(qi % 2, qi).wait()
+            if resident:
+                bias = bias_buf[sl, :].astype(jnp.float32)  # (TQ, Sp)
+            else:
+                if qi + 1 < NQ:
+                    bias_dma((qi + 1) % 2, qi + 1).start()
+                bias_dma(qi % 2, qi).wait()
+                bias = bias_buf[qi % 2].astype(jnp.float32)
             gate = gate_ref[0, 0, sl, :].astype(jnp.float32)  # (TQ, 1)
-            bias = bias_buf[qi % 2].astype(jnp.float32)  # (TQ, Sp)
             s = s + gate * bias
+        if has_amask:
+            if resident:
+                s = s + amask_buf[sl, :].astype(jnp.float32)
+            else:
+                if qi + 1 < NQ:
+                    amask_dma((qi + 1) % 2, qi + 1).start()
+                amask_dma(qi % 2, qi).wait()
+                s = s + amask_buf[qi % 2].astype(jnp.float32)
         if has_mask:
             s = s + mask_ref[0].astype(jnp.float32)
         p = jnp.exp(s - lse)  # (TQ, Sp) — softmax probs, recomputed
@@ -353,23 +473,50 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
                 ).wait()
 
 
-def _bwd_kernel_nobias(seed_ref, q_ref, k_ref, v_ref, mask_ref,
-                       lse_ref, out_ref, do_ref,
-                       dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                       *, rate, q_tile, H, B, has_bias, has_mask):
-    _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, None, None, mask_ref,
-                lse_ref, out_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, None, None,
-                dk_acc, dv_acc, None, None, None, None, None,
+def _bwd_dispatch(seed_ref, q_ref, k_ref, v_ref, *rest,
+                  rate, q_tile, H, B, has_bias, has_mask, has_amask,
+                  resident):
+    """Positional unpack of the optional-arg layout (mirror of
+    _fwd_dispatch) for the merged backward kernel."""
+    i = 0
+    bias_hbm = gate_ref = None
+    if has_bias:
+        bias_hbm, gate_ref = rest[i], rest[i + 1]
+        i += 2
+    mask_ref = rest[i]
+    amask_hbm = rest[i + 1]
+    lse_ref, out_ref, do_ref = rest[i + 2], rest[i + 3], rest[i + 4]
+    i += 5
+    dq_ref, dk_ref, dv_ref = rest[i], rest[i + 1], rest[i + 2]
+    i += 3
+    dgate_ref = dbias_hbm = None
+    if has_bias:
+        dgate_ref, dbias_hbm = rest[i], rest[i + 1]
+        i += 2
+    scratch = list(rest[i:])
+    dk_acc, dv_acc = scratch.pop(0), scratch.pop(0)
+    dbias_acc = bias_buf = dbias_stage = sem_in = sem_out = None
+    if has_bias:
+        dbias_acc, bias_buf, dbias_stage, sem_in, sem_out = (
+            scratch.pop(0), scratch.pop(0), scratch.pop(0),
+            scratch.pop(0), scratch.pop(0),
+        )
+    amask_buf = sem_am = None
+    if has_amask:
+        amask_buf, sem_am = scratch.pop(0), scratch.pop(0)
+    _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref, mask_ref,
+                amask_hbm, lse_ref, out_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dgate_ref, dbias_hbm,
+                dk_acc, dv_acc, dbias_acc, bias_buf, dbias_stage,
+                sem_in, sem_out, amask_buf, sem_am,
                 rate=rate, q_tile=q_tile, H=H, B=B,
-                has_bias=False, has_mask=has_mask)
+                has_bias=has_bias, has_mask=has_mask, has_amask=has_amask,
+                resident=resident)
 
 
-def _vmem_check(Tp, Sp, hd, q_tile, itemsize, *, direction: str,
-                has_bias: bool):
-    """Actionable failure instead of an opaque Mosaic scoped-VMEM error
-    (16 MB limit; round-2 advisor finding #2). Covers forward AND backward,
-    with and without bias (round-3 advisor finding #4)."""
+def _vmem_est(Tp, Sp, hd, q_tile, itemsize, *, direction: str,
+              has_bias: bool, has_amask: bool, resident: bool) -> int:
+    """Scoped-VMEM estimate for one kernel launch (16 MB limit)."""
     if direction == "fwd":
         est = (
             3 * Tp * hd * itemsize * 2    # q/k/v blocks (double-buffered)
@@ -378,10 +525,13 @@ def _vmem_check(Tp, Sp, hd, q_tile, itemsize, *, direction: str,
             + 3 * q_tile * Sp * 4         # stripe temporaries (s/p/...)
         )
         if has_bias:
-            est += 2 * q_tile * Sp * itemsize  # bias stripe buffers
+            est += (Tp * Sp if resident else 2 * q_tile * Sp) * itemsize
     else:
         est = (
-            4 * Tp * hd * itemsize * 2    # q/k/v/dO blocks (double-buffered)
+            # q/k/v/dO + the saved-output block (the in-kernel delta reads
+            # it), all double-buffered (round-4 advisor finding #2: the old
+            # term counted 4 blocks after delta's replacement by out)
+            5 * Tp * hd * itemsize * 2
             + 3 * Tp * hd * itemsize * 2  # dq/dk/dv out blocks
             + 2 * Sp * hd * 4             # dk/dv fp32 accumulators
             + 5 * q_tile * Sp * 4         # stripe temporaries (p/dp/ds/...)
@@ -389,27 +539,47 @@ def _vmem_check(Tp, Sp, hd, q_tile, itemsize, *, direction: str,
         if has_bias:
             est += (
                 Tp * Sp * 4               # dbias fp32 accumulator
-                + 4 * q_tile * Sp * itemsize  # bias stripe + staging buffers
+                + 2 * q_tile * Sp * itemsize  # dbias out staging
+                + (Tp * Sp if resident else 2 * q_tile * Sp) * itemsize
             )
+    if has_amask:
+        est += (Tp * Sp if resident else 2 * q_tile * Sp) * 4
+    return est
+
+
+def _choose_resident(Tp, Sp, hd, q_tile, itemsize, *, direction: str,
+                     has_bias: bool, has_amask: bool,
+                     interpret: bool) -> bool:
+    """Keep the whole per-head (Tp, Sp) bias (and streaming mask) VMEM-
+    resident when it fits — one HBM read per head instead of per
+    (head, batch) — else stream stripes. Raises an actionable error when
+    not even the stripe mode fits (round-2 advisor finding #2)."""
     limit = 15 * 1024 * 1024
-    if est > limit:
+    kw = dict(direction=direction, has_bias=has_bias, has_amask=has_amask)
+    if _vmem_est(Tp, Sp, hd, q_tile, itemsize, resident=True, **kw) <= limit:
+        return True
+    est = _vmem_est(Tp, Sp, hd, q_tile, itemsize, resident=False, **kw)
+    if est > limit and not interpret:
         raise ValueError(
             f"fused_attention {direction} needs ~{est/2**20:.1f} MiB VMEM "
             f"(scoped limit 16 MiB) at T={Tp}, S={Sp}, head_dim={hd}, "
             f"q_tile={q_tile}. Reduce q_tile, shorten the sequence bucket, "
             "or fall back to the XLA path (use_flash_attention=False)."
         )
+    return False
 
 
-def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, out, do, *,
-                  rate, q_tile, interpret):
+def _run_backward(qh, kh, vh, biasp, gatep, addmask, amaskp, seed, lse, out,
+                  do, *, rate, q_tile, interpret):
     H, B, Tp, hd = qh.shape
     Sp = kh.shape[2]
     has_bias = biasp is not None
     has_mask = addmask is not None
-    if not interpret:
-        _vmem_check(Tp, Sp, hd, q_tile, qh.dtype.itemsize,
-                    direction="bwd", has_bias=has_bias)
+    has_amask = amaskp is not None
+    resident = _choose_resident(
+        Tp, Sp, hd, q_tile, qh.dtype.itemsize, direction="bwd",
+        has_bias=has_bias, has_amask=has_amask, interpret=interpret,
+    )
 
     def hb_map(h, b, *_):
         return (h, b, 0, 0)
@@ -440,6 +610,10 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, out, do, *,
                          memory_space=pltpu.VMEM)
         )
         args.append(jnp.zeros((1, 1, 128), jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # (Tp, Sp) amask
+    args.append(
+        amaskp if has_amask else jnp.zeros((1, 128), jnp.float32)
+    )
     in_specs += [
         pl.BlockSpec((1, 1, Tp, 1), hb_map, memory_space=pltpu.VMEM),  # lse
         pl.BlockSpec((1, 1, Tp, hd), hb_map, memory_space=pltpu.VMEM),  # out
@@ -472,17 +646,27 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, out, do, *,
         ]
         scratch += [
             pltpu.VMEM((Tp, Sp), jnp.float32),  # dbias accumulator
-            pltpu.VMEM((2, q_tile, Sp), biasp.dtype),  # bias stripe buffers
+            pltpu.VMEM((Tp, Sp) if resident else (2, q_tile, Sp),
+                       biasp.dtype),  # bias (resident or stripe buffers)
             pltpu.VMEM((2, q_tile, Sp), biasp.dtype),  # dbias out staging
-            pltpu.SemaphoreType.DMA((2,)),  # bias in
+            pltpu.SemaphoreType.DMA if resident
+            else pltpu.SemaphoreType.DMA((2,)),  # bias in
             pltpu.SemaphoreType.DMA((2,)),  # dbias out
+        ]
+    if has_amask:
+        scratch += [
+            pltpu.VMEM((Tp, Sp) if resident else (2, q_tile, Sp),
+                       amaskp.dtype),
+            pltpu.SemaphoreType.DMA if resident
+            else pltpu.SemaphoreType.DMA((2,)),
         ]
 
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_kernel if has_bias else _bwd_kernel_nobias,
+            _bwd_dispatch,
             rate=rate, q_tile=q_tile, H=H, B=B,
-            has_bias=has_bias, has_mask=has_mask,
+            has_bias=has_bias, has_mask=has_mask, has_amask=has_amask,
+            resident=resident,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -512,31 +696,32 @@ def _run_backward(qh, kh, vh, biasp, gatep, addmask, seed, lse, out, do, *,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _core(rate, q_tile, interpret, qh, kh, vh, biasp, gatep, addmask, seed):
+def _core(rate, q_tile, interpret, qh, kh, vh, biasp, gatep, addmask,
+          amaskp, seed):
     out, _ = _run_forward(
-        qh, kh, vh, biasp, gatep, addmask, seed,
+        qh, kh, vh, biasp, gatep, addmask, amaskp, seed,
         rate=rate, q_tile=q_tile, interpret=interpret,
     )
     return out
 
 
 def _core_fwd(rate, q_tile, interpret, qh, kh, vh, biasp, gatep, addmask,
-              seed):
+              amaskp, seed):
     out, lse = _run_forward(
-        qh, kh, vh, biasp, gatep, addmask, seed,
+        qh, kh, vh, biasp, gatep, addmask, amaskp, seed,
         rate=rate, q_tile=q_tile, interpret=interpret,
     )
-    return out, (qh, kh, vh, biasp, gatep, addmask, seed, out, lse)
+    return out, (qh, kh, vh, biasp, gatep, addmask, amaskp, seed, out, lse)
 
 
 def _core_bwd(rate, q_tile, interpret, res, g):
-    qh, kh, vh, biasp, gatep, addmask, seed, out, lse = res
+    qh, kh, vh, biasp, gatep, addmask, amaskp, seed, out, lse = res
     dq, dk, dv, dbias, dgate = _run_backward(
-        qh, kh, vh, biasp, gatep, addmask, seed, lse, out,
+        qh, kh, vh, biasp, gatep, addmask, amaskp, seed, lse, out,
         g.astype(qh.dtype),
         rate=rate, q_tile=q_tile, interpret=interpret,
     )
-    return dq, dk, dv, dbias, dgate, None, None
+    return dq, dk, dv, dbias, dgate, None, None, None
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -554,6 +739,8 @@ def fused_attention(
     bias: Optional[jax.Array] = None,  # (H, T, S) shared rel-pos bias
     gate: Optional[jax.Array] = None,  # (B, H, T) per-query gate
     key_padding_mask: Optional[jax.Array] = None,  # (B, S) True = pad
+    attn_mask: Optional[jax.Array] = None,  # (T, S) additive streaming/
+    # chunked mask, shared across batch+heads (wavlm.py:698,730 analog)
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,  # scalar int32
     q_tile: int = 128,
@@ -611,13 +798,21 @@ def fused_attention(
             pad_t(gate, Tp, 2).astype(jnp.float32).transpose(1, 0, 2)[..., None]
         )  # (H, B, Tp, 1)
 
+    amaskp = None
+    if attn_mask is not None:
+        # padded query rows are discarded on return; padded key columns are
+        # already NEG_INF'd by addmask when Sp > S, so zero-padding is safe
+        amaskp = jax.lax.stop_gradient(
+            pad_t(pad_t(attn_mask, Tp, 0), Sp, 1).astype(jnp.float32)
+        )
+
     if dropout_seed is None or dropout_rate <= 0.0:
         dropout_seed = jnp.zeros((), jnp.int32)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
 
     out = _core(
         float(dropout_rate), q_tile, interpret,
-        qh, kh, vh, biasp, gatep, addmask, seed,
+        qh, kh, vh, biasp, gatep, addmask, amaskp, seed,
     )
     out = out.transpose(1, 2, 0, 3)  # (B, Tp, H, hd)
     return out[:, :T]

@@ -46,6 +46,16 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tensorboard-dir", default=None)
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation (reference update_freq)")
+    p.add_argument("--inner-steps", type=int, default=1,
+                   help="optimizer steps per device dispatch: K distinct "
+                        "microbatches scanned in-graph (amortizes host "
+                        "dispatch on high-latency runtimes)")
+    p.add_argument("--unroll-layers", action="store_true",
+                   help="unroll transformer layers instead of nn.scan: "
+                        "per-layer params, no stacked-dW update-slice "
+                        "copies (~15%% faster Base steps on v5e; scan "
+                        "keeps compile time down and enables scan-remat "
+                        "for Large)")
     # multi-host bootstrap (reference distributed_init, distributed/utils.py)
     p.add_argument("--export-params", default=None,
                    help="write final params as flat .npz (for --w2v-path / "
@@ -67,6 +77,8 @@ def _encoder(args, **over):
 
     fn = base_encoder_config if args.arch == "base" else large_encoder_config
     enc = fn(**over)
+    if getattr(args, "unroll_layers", False):
+        enc = dataclasses.replace(enc, scan_layers=False)
     if getattr(args, "encoder_json", None):
         extra = _json.loads(args.encoder_json)
         if "conv_layers" in extra:
@@ -91,6 +103,7 @@ def _loop_cfg(args):
         fsdp=args.fsdp,
         tensorboard_dir=args.tensorboard_dir,
         accum_steps=args.accum_steps,
+        inner_steps=getattr(args, "inner_steps", 1),
         export_params=getattr(args, "export_params", None),
         best_metric=getattr(args, "best_metric", None) or "loss_avg",
         hang_timeout_s=getattr(args, "hang_timeout", 0.0),
