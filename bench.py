@@ -50,13 +50,16 @@ BASELINE_AUDIO_SEC_PER_S = 3400.0
 B = int(os.environ.get("BENCH_B", "8"))
 NSAMP = 245_840
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
-# Optimizer steps per dispatch: ~20 ms/step of un-amortized host dispatch
-# at INNER=1 on this tunneled runtime (R4 trace: 97 ms wall vs 77 ms
-# device). Production TPU loops scan K DISTINCT microbatches per dispatch
-# (train/state.py inner_steps; train/loop.py groups K host batches), so the
-# bench does the same: the batch carries a leading (INNER, ...) axis of
-# different data and each scan iteration is one full optimizer step.
-INNER = int(os.environ.get("BENCH_INNER", "4"))
+# Optimizer steps per dispatch (train/state.py inner_steps: K DISTINCT
+# microbatches, one full optimizer step each). The r5 sweep measured
+# INNER in {1,4,8} flat at ~1260 audio-sec/s: the bench's async step loop
+# already pipelines dispatch through the tunnel, so the step is device-
+# bound (trace: 95.2 ms busy, 0.3 ms gaps) and the r4 assumption of
+# ~20 ms/step un-amortized dispatch was wrong. Default 1 minimizes
+# cold-compile time; the loop CLI exposes --inner-steps for production
+# runtimes where the host loop (which syncs on metrics every step) does
+# benefit.
+INNER = int(os.environ.get("BENCH_INNER", "1"))
 
 
 def build_step(b=B, nsamp=NSAMP, remat=REMAT, arch="base"):
@@ -83,14 +86,15 @@ def build_step(b=B, nsamp=NSAMP, remat=REMAT, arch="base"):
         encoder_layerdrop=0.05,
         dropout=0.1,
         attention_dropout=0.1,
-        # Base @ B=6 fits HBM without remat; Large (24L/1024d) needs the
-        # scan-remat path — exactly what it exists for (SURVEY §6)
-        remat_layers=remat or arch == "large",
+        # r5 sweep (scripts/exp_large.py): full scan-remat is unnecessary —
+        # Large at B<=4 fits HBM with FFN-only remat; unrolled + remat_ffn
+        # B=3 measured 609 audio-sec/s vs 377 for the r4 scan-remat B=2.
+        remat_layers=remat,
         remat_ffn=True,
-        # Base: unrolled layers (no scan dW-stack DUS copies; 97.5 -> 82.4
-        # ms/step measured r5). Large keeps scan for scan-remat + compile.
-        scan_layers=os.environ.get("BENCH_SCAN", "0") == "1"
-        or arch == "large",
+        # Unrolled layers for BOTH archs (no scan dW-stack DUS copies;
+        # Base 97.5 -> 82.4 ms/step measured r5); BENCH_SCAN=1 restores
+        # the scan path for comparison.
+        scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
     )
     cfg = HubertPretrainConfig(
         encoder=enc,
@@ -171,7 +175,9 @@ def main():
     # headline line so the driver's last-line parse stays the Base metric.
     if os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
         try:
-            vl = _run_one("large", 2, iters_target=10, tag="large ")
+            # B=3: the unrolled+remat_ffn sweet spot (609 > B=4's 597 >
+            # B=2's 475 audio-sec/s, scripts/exp_large.py r5 sweep)
+            vl = _run_one("large", 3, iters_target=10, tag="large ")
             print(
                 json.dumps(
                     {

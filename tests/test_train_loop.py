@@ -244,3 +244,15 @@ def test_run_training_inner_steps(tmp_path):
         if os.path.basename(p).isdigit()
     )
     assert 4 in steps and 6 in steps
+
+
+def test_progress_logger_optional_sinks_fail_soft(tmp_path, capsys):
+    """wandb/azureml sinks (reference progress_bar.py:324-420 wrappers) are
+    gated on their packages and must never take logging down."""
+    from unispeech_tpu.utils.metrics import ProgressLogger
+
+    lg = ProgressLogger("train", wandb_project="nope", azureml=True)
+    lg.log(1, {"loss": 1.0})
+    lg.close()
+    err = capsys.readouterr().err
+    assert '"tag": "train"' in err and '"loss": 1.0' in err

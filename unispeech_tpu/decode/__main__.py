@@ -40,6 +40,9 @@ def _parse_args(argv=None):
                    "default, matching finetune-ctc)")
     p.add_argument("--arch", choices=["base", "large"], default="base")
     p.add_argument("--no-rel-pos", action="store_true")
+    p.add_argument("--unroll-layers", action="store_true",
+                   help="match checkpoints trained with --unroll-layers "
+                        "(per-layer params instead of the scan stack)")
     p.add_argument("--encoder-json", default=None,
                    help="JSON dict of EncoderConfig field overrides (e.g. "
                         "toy shapes for smoke tests)")
@@ -181,6 +184,7 @@ def run_seq2seq(args) -> None:
         gru_rel_pos=not args.no_rel_pos,
         dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
         encoder_layerdrop=0.0,
+        **({"scan_layers": False} if args.unroll_layers else {}),
     )
     import dataclasses
 
@@ -299,6 +303,7 @@ def main(argv=None) -> None:
         gru_rel_pos=not args.no_rel_pos,
         dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
         encoder_layerdrop=0.0,
+        **({"scan_layers": False} if args.unroll_layers else {}),
     )
     if args.encoder_json:
         import dataclasses

@@ -44,6 +44,10 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fsdp", action="store_true", help="ZeRO-3 param sharding")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--tensorboard-dir", default=None)
+    p.add_argument("--wandb-project", default=None,
+                   help="mirror progress to Weights & Biases (needs wandb)")
+    p.add_argument("--azureml", action="store_true",
+                   help="mirror progress to the Azure ML run context")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation (reference update_freq)")
     p.add_argument("--inner-steps", type=int, default=1,
@@ -102,6 +106,8 @@ def _loop_cfg(args):
         n_model=args.n_model,
         fsdp=args.fsdp,
         tensorboard_dir=args.tensorboard_dir,
+        wandb_project=getattr(args, "wandb_project", None),
+        azureml=getattr(args, "azureml", False),
         accum_steps=args.accum_steps,
         inner_steps=getattr(args, "inner_steps", 1),
         export_params=getattr(args, "export_params", None),

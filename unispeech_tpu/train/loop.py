@@ -48,6 +48,10 @@ class LoopConfig:
     n_model: int = 1
     fsdp: bool = False
     tensorboard_dir: Optional[str] = None
+    # optional hosted sinks (reference WandB/AzureML progress wrappers,
+    # progress_bar.py:324-420); gated on packages, fail soft
+    wandb_project: Optional[str] = None
+    azureml: bool = False
     # gradient accumulation (reference update_freq, trainer.py:689-705)
     accum_steps: int = 1
     # optimizer steps per device dispatch: K distinct microbatches are
@@ -129,8 +133,12 @@ def run_training(
         eval_fn = jax.jit(_eval)
 
     agg = MetricsAggregator()
-    logger = ProgressLogger("train", cfg.tensorboard_dir)
-    vlogger = ProgressLogger("valid", cfg.tensorboard_dir)
+    logger = ProgressLogger("train", cfg.tensorboard_dir,
+                            wandb_project=cfg.wandb_project,
+                            azureml=cfg.azureml)
+    vlogger = ProgressLogger("valid", cfg.tensorboard_dir,
+                             wandb_project=cfg.wandb_project,
+                             azureml=cfg.azureml)
     timer = StopwatchMeter()
     from unispeech_tpu.utils.debug import (
         CompileWatchdog,

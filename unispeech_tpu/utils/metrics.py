@@ -78,13 +78,22 @@ class MetricsAggregator:
 
 class ProgressLogger:
     """JSON-lines progress sink (reference json progress bar,
-    progress_bar.py:28-74) + optional TensorBoard."""
+    progress_bar.py:28-74) + optional TensorBoard / wandb / Azure ML.
+
+    wandb and Azure ML mirror the reference's WandBProgressBarWrapper /
+    AzureMLProgressBarWrapper (progress_bar.py:324-420): both are gated on
+    their packages being installed AND an explicit opt-in (wandb_project /
+    azureml=True), and both fail soft — a sink import error never takes
+    down training."""
 
     def __init__(self, tag: str = "train", tensorboard_dir: Optional[str] = None,
-                 stream=None):
+                 stream=None, wandb_project: Optional[str] = None,
+                 azureml: bool = False):
         self.tag = tag
         self.stream = stream or sys.stderr
         self._tb = None
+        self._wandb = None
+        self._aml = None
         if tensorboard_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -92,15 +101,41 @@ class ProgressLogger:
                 self._tb = SummaryWriter(tensorboard_dir)
             except Exception:
                 self._tb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                if wandb.run is None:
+                    wandb.init(project=wandb_project, reinit=False)
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
+        if azureml:
+            try:
+                from azureml.core import Run
+
+                self._aml = Run.get_context()
+            except Exception:
+                self._aml = None
 
     def log(self, step: int, stats: Dict[str, float]) -> None:
         rec = {"tag": self.tag, "step": step}
         rec.update({k: safe_round(v) for k, v in stats.items()})
         print(json.dumps(rec), file=self.stream, flush=True)
+        scalars = {
+            k: float(v) for k, v in stats.items()
+            if isinstance(v, (int, float)) and math.isfinite(float(v))
+        }
         if self._tb is not None:
-            for k, v in stats.items():
-                if isinstance(v, (int, float)) and math.isfinite(float(v)):
-                    self._tb.add_scalar(f"{self.tag}/{k}", float(v), step)
+            for k, v in scalars.items():
+                self._tb.add_scalar(f"{self.tag}/{k}", v, step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"{self.tag}/{k}": v for k, v in scalars.items()}, step=step
+            )
+        if self._aml is not None:
+            for k, v in scalars.items():
+                self._aml.log(f"{self.tag}/{k}", v)
 
     def close(self) -> None:
         if self._tb is not None:
