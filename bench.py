@@ -44,10 +44,13 @@ BASELINE_AUDIO_SEC_PER_S = 3400.0
 # reference batch anchor: max_tokens 1.4M samples/GPU ≈ 87.5 audio-sec
 # (examples/hubert/scripts/pretrain.sh); 6 crops of 245,840 samples
 # (~15.4 s, exactly 768 output frames) ≈ 92 audio-sec per step matches it.
-# Default B=8: the chip's best per-batch throughput (+4% over B=6; the
-# anchor is MFU-derived, not batch-specific, so the production-best batch
-# is the fair number — B=6 reference-equivalent ≈ 1200 audio-sec/s).
-B = int(os.environ.get("BENCH_B", "8"))
+# Default B=16: the chip's best per-batch throughput (r5 sweep: B=8 1603,
+# B=12 1613, B=16 1663, B=24 1676 audio-sec/s — the optimizer's ~7 ms is
+# batch-independent, so bigger batches amortize it; >16 is inside tunnel
+# noise). The anchor is MFU-derived, not batch-specific, so the
+# production-best batch is the fair number; B=8 and B=6 numbers are
+# reported in R5_NOTES.md.
+B = int(os.environ.get("BENCH_B", "16"))
 NSAMP = 245_840
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 # Optimizer steps per dispatch (train/state.py inner_steps: K DISTINCT
@@ -91,6 +94,7 @@ def build_step(b=B, nsamp=NSAMP, remat=REMAT, arch="base"):
         # B=3 measured 609 audio-sec/s vs 377 for the r4 scan-remat B=2.
         remat_layers=remat,
         remat_ffn=True,
+        attention_q_tile=int(os.environ.get("BENCH_QTILE", "256")),
         # Unrolled layers for BOTH archs (no scan dW-stack DUS copies;
         # Base 97.5 -> 82.4 ms/step measured r5); BENCH_SCAN=1 restores
         # the scan path for comparison.

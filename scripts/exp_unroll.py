@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 B, NSAMP = 8, 245_840
 
 
-def build(scan_layers: bool):
+def build(scan_layers: bool, scan_unroll: bool = False):
     from unispeech_tpu.configs import (
         HubertPretrainConfig,
         MaskConfig,
@@ -49,6 +49,7 @@ def build(scan_layers: bool):
         attention_dropout=0.1,
         remat_ffn=True,
         scan_layers=scan_layers,
+        scan_unroll=scan_unroll,
     )
     cfg = HubertPretrainConfig(
         encoder=enc,
@@ -88,8 +89,8 @@ def build(scan_layers: bool):
     return step, state, {"source": wav, "targets": targets}
 
 
-def run(tag, scan_layers):
-    step, state, batch = build(scan_layers)
+def run(tag, scan_layers, scan_unroll=False):
+    step, state, batch = build(scan_layers, scan_unroll)
     rng = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     state, m = step(state, batch, rng)
@@ -110,3 +111,5 @@ if __name__ == "__main__":
         run("unroll", False)
     if which in ("scan", "both"):
         run("scan", True)
+    if which == "scanunroll":
+        run("scanunroll", True, True)

@@ -121,6 +121,11 @@ class EncoderConfig:
     # checkpoint_activations wrapper (src/fairseq/modules/
     # checkpoint_activations.py) and is required for Large-scale training.
     scan_layers: bool = True
+    # fully unroll the layer scan (lax.scan unroll=L): params stay STACKED
+    # (cheap big-fusion optimizer updates, converter-stable names) while
+    # the compute gets static layer indices. Measured r5 on v5e vs the
+    # dynamic scan — see R5_NOTES.md.
+    scan_unroll: bool = False
     remat_layers: bool = True
     # rematerialize ONLY the FFN branch (fc1+gelu recomputed in backward)
     # instead of storing the (L, B, T, 4D) fc1 activations — cheaper than

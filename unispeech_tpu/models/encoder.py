@@ -806,6 +806,11 @@ class TransformerEncoder(nn.Module):
                 split_rngs={"params": True, "dropout": True, "layerdrop": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=L,
+                # full unroll keeps STACKED param storage (one big adam
+                # fusion per param kind, stable "layers/..." names) while
+                # giving XLA static layer indices instead of the while-loop
+                # dynamic slices/update-slices
+                unroll=L if cfg.scan_unroll else 1,
             )
             x_final, ys = ScanLayers(
                 cfg,

@@ -105,8 +105,8 @@ def _mask_rows(x, start, limit):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, w_ref, y_ref, *, k, tile, gelu_in, gelu_out,
-                mask_limit):
+def _fwd_kernel(x_ref, w_ref, y_ref, pre_ref=None, *, k, tile, gelu_in,
+                gelu_out, mask_limit):
     X = x_ref[0]  # (2*tile + 8|0, C) rows starting at 2*tile*t
     if mask_limit is not None:  # interpret mode only
         X = _mask_rows(X, 2 * tile * pl.program_id(1), mask_limit)
@@ -120,7 +120,14 @@ def _fwd_kernel(x_ref, w_ref, y_ref, *, k, tile, gelu_in, gelu_out,
     acc = _dot(xe, w[0]) + _dot(xo, w[1])
     if k == 3:
         acc = acc + _dot(X2[1 : tile + 1, :C], w[2])
-    y = gelu_poly(acc) if gelu_out else acc
+    if gelu_out:
+        # save the pre-activation: the backward's output-gelu derivative
+        # reads it from HBM instead of re-running the k recompute matmuls
+        # (bf16 write ~0.25 ms vs ~1.2 ms MXU for the L1 block at B=8)
+        pre_ref[0] = acc.astype(pre_ref.dtype)
+        y = gelu_poly(acc)
+    else:
+        y = acc
     y_ref[0] = y.astype(y_ref.dtype)
 
 
@@ -139,7 +146,9 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
     else:  # k == 2: windows are exact, plain blocked spec
         win = 2 * tile
         x_spec = pl.BlockSpec((1, win, C), lambda b, t: (b, t, 0))
-    return pl.pallas_call(
+    y_spec = pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0))
+    y_shape = jax.ShapeDtypeStruct((B, R, C), x.dtype)
+    out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, k=k, tile=tile, gelu_in=gelu_in, gelu_out=gelu_out,
             mask_limit=Ts if interpret else None,
@@ -149,8 +158,8 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
             x_spec,
             pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, R, C), x.dtype),
+        out_specs=[y_spec, y_spec] if gelu_out else y_spec,
+        out_shape=[y_shape, y_shape] if gelu_out else y_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * R * C * k * C,
             bytes_accessed=2 * B * R * C * 3,
@@ -158,6 +167,7 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
         ),
         interpret=interpret,
     )(x, w)
+    return out if gelu_out else (out, None)
 
 
 # ---------------------------------------------------------------------------
@@ -165,8 +175,12 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
+def _bwd_kernel(x_ref, w_ref, dy_ref, *rest, k, tile, gelu_in,
                 gelu_out, valid_in, valid_out, mask_x, mask_dy):
+    if gelu_out:
+        pre_ref, dx_ref, dw_ref = rest
+    else:
+        pre_ref, (dx_ref, dw_ref) = None, rest
     b, t = pl.program_id(0), pl.program_id(1)
 
     @pl.when((b == 0) & (t == 0))
@@ -210,13 +224,12 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
     if k == 3:
         Hp.append(H2[1 : ywin + 1, :C])   # tap 2
 
-    # recompute pre-activations and the post-gelu gradient g
+    # post-gelu gradient g from the SAVED pre-activation (forward second
+    # output) — replaces the k-matmul forward recompute; garbage pre rows
+    # produce garbage dgelu that the m_valid mask below zeroes
     if gelu_out:
-        pre = None
-        for p in range(k):
-            part = _dot(Hp[p], w[p])
-            pre = part if pre is None else pre + part
-        g = dgelu_poly(pre) * dyw.astype(jnp.float32)
+        prew = pre_ref[0]  # (ywin, C) rows starting at y_start
+        g = dgelu_poly(prew) * dyw.astype(jnp.float32)
     else:
         g = dyw.astype(jnp.float32)
     g = jnp.where(m_valid, g, 0.0)  # kill NaN from garbage dy rows
@@ -273,13 +286,18 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, dx_ref, dw_ref, *, k, tile, gelu_in,
         )
 
 
-def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy):
+def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy,
+             pre=None):
     B, Ts, C = x.shape
     Ry = dy.shape[1]
     # the backward holds more live buffers than the forward (dy window, dX
-    # assembly, valid-row masks); tile 512 exceeds the 16 MB scoped-VMEM
-    # limit by ~1.7 MB, and the 384 tile costs <2% (tile sweep in R4 notes)
-    tile = min(tile, 384)
+    # assembly, valid-row masks); tile 512 exceeded the 16 MB scoped-VMEM
+    # limit by ~1.7 MB BEFORE the r5 save-pre change removed the k-matmul
+    # forward recompute from this kernel — the cap is now env-overridable
+    # for re-sweeps (UNISPEECH_CONV_BWD_TILE)
+    import os as _os
+
+    tile = min(tile, int(_os.environ.get("UNISPEECH_CONV_BWD_TILE", "384")))
     # the 8 * max(k - 1, 0) start maps below only tile over multiples of 8
     assert tile % 8 == 0, tile
     nt = pl.cdiv(Ts, 2 * tile)
@@ -323,7 +341,7 @@ def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy):
             x_spec,
             pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
             dy_spec,
-        ],
+        ] + ([dy_spec] if gelu_out else []),  # saved pre, same windows as dy
         out_specs=[
             # blocked spec over the exact (B, Ts, C) dx shape: the last
             # (possibly partial) block's out-of-bounds rows are masked by
@@ -341,7 +359,7 @@ def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w, dy)
+    )(*((x, w, dy, pre) if gelu_out else (x, w, dy)))
     return dx, dw
 
 
@@ -352,18 +370,18 @@ def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _block(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w):
-    return _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w)
+    return _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w)[0]
 
 
 def _block_fwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w):
-    y = _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w)
-    return y, (x, w)
+    y, pre = _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w)
+    return y, (x, w, pre)
 
 
 def _block_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, res, dy):
-    x, w = res
+    x, w, pre = res
     dx, dw = _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w,
-                      dy)
+                      dy, pre)
     return dx, dw.astype(w.dtype)
 
 
