@@ -44,13 +44,13 @@ BASELINE_AUDIO_SEC_PER_S = 3400.0
 # reference batch anchor: max_tokens 1.4M samples/GPU ≈ 87.5 audio-sec
 # (examples/hubert/scripts/pretrain.sh); 6 crops of 245,840 samples
 # (~15.4 s, exactly 768 output frames) ≈ 92 audio-sec per step matches it.
-# Default B=16: the chip's best per-batch throughput (r5 sweep: B=8 1603,
-# B=12 1613, B=16 1663, B=24 1676 audio-sec/s — the optimizer's ~7 ms is
-# batch-independent, so bigger batches amortize it; >16 is inside tunnel
-# noise). The anchor is MFU-derived, not batch-specific, so the
-# production-best batch is the fair number; B=8 and B=6 numbers are
-# reported in R5_NOTES.md.
-B = int(os.environ.get("BENCH_B", "16"))
+# Default B=24: the chip's best per-batch throughput (r5 final sweep with
+# save-pre + bwd tile 512: B=8 1603, B=12 1613, B=16 1735, B=24 1764
+# audio-sec/s; B=32 crashes the remote compile helper — the optimizer's
+# ~7 ms is batch-independent, so bigger batches amortize it). The anchor
+# is MFU-derived, not batch-specific, so the production-best batch is the
+# fair number; B=8/B=6 numbers are reported in R5_NOTES.md.
+B = int(os.environ.get("BENCH_B", "24"))
 NSAMP = 245_840
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 # Optimizer steps per dispatch (train/state.py inner_steps: K DISTINCT
@@ -135,7 +135,14 @@ def build_step(b=B, nsamp=NSAMP, remat=REMAT, arch="base"):
             {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
             w_small, t_small, mask=True, deterministic=True,
         )
-    tx = make_optimizer(OptimConfig(lr=5e-4, warmup_steps=100, total_steps=1000))
+    # stacked_update measured SLOWER here (B=24 A/B: 1713 vs 1761
+    # audio-sec/s): the stack/unstack copies cost more than the per-leaf
+    # fusion overhead they remove — the ~7 ms adam time is traffic-bound,
+    # not launch-bound. Kept as an env knob + documented negative result.
+    tx = make_optimizer(OptimConfig(
+        lr=5e-4, warmup_steps=100, total_steps=1000,
+        stacked_update=os.environ.get("BENCH_STACKED_OPT", "0") == "1",
+    ))
     state = create_train_state(variables["params"], tx)
     state = jax.device_put(state, jax.devices()[0])
     loss_fn = make_hubert_loss_fn(model, HubertCriterionConfig())

@@ -290,14 +290,13 @@ def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy,
              pre=None):
     B, Ts, C = x.shape
     Ry = dy.shape[1]
-    # the backward holds more live buffers than the forward (dy window, dX
-    # assembly, valid-row masks); tile 512 exceeded the 16 MB scoped-VMEM
-    # limit by ~1.7 MB BEFORE the r5 save-pre change removed the k-matmul
-    # forward recompute from this kernel — the cap is now env-overridable
-    # for re-sweeps (UNISPEECH_CONV_BWD_TILE)
+    # tile 512 exceeded the 16 MB scoped-VMEM limit by ~1.7 MB while this
+    # kernel still recomputed the forward pre-activations; the r5 save-pre
+    # change freed those buffers and 512 now fits AND wins (bench 1725.4 ->
+    # 1735.4 audio-sec/s at B=16). Env-overridable for re-sweeps.
     import os as _os
 
-    tile = min(tile, int(_os.environ.get("UNISPEECH_CONV_BWD_TILE", "384")))
+    tile = min(tile, int(_os.environ.get("UNISPEECH_CONV_BWD_TILE", "512")))
     # the 8 * max(k - 1, 0) start maps below only tile over multiples of 8
     assert tile % 8 == 0, tile
     nt = pl.cdiv(Ts, 2 * tile)

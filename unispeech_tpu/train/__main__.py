@@ -34,6 +34,10 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--warmup-steps", type=int, default=32_000)
     p.add_argument("--clip-norm", type=float, default=0.0)
+    p.add_argument("--stacked-optimizer", action="store_true",
+                   help="group same-shape param leaves for the adam update "
+                        "(fewer, bigger fusions; pairs with "
+                        "--unroll-layers; leave off with --fsdp)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--save-interval-updates", type=int, default=25_000)
@@ -190,6 +194,7 @@ def cmd_pretrain_hubert(args) -> None:
         OptimConfig(
             lr=args.lr, warmup_steps=args.warmup_steps,
             total_steps=args.max_updates, clip_norm=args.clip_norm,
+                    stacked_update=getattr(args, 'stacked_optimizer', False),
         )
     )
     rng = jax.random.PRNGKey(args.seed)
@@ -254,7 +259,8 @@ def cmd_pretrain_wav2vec2(args) -> None:
     loss_fn = make_wav2vec2_loss_fn(model, mtlalpha=args.mtlalpha)
     tx = make_optimizer(
         OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
-                    total_steps=args.max_updates, clip_norm=args.clip_norm)
+                    total_steps=args.max_updates, clip_norm=args.clip_norm,
+                    stacked_update=getattr(args, 'stacked_optimizer', False))
     )
     rng = jax.random.PRNGKey(args.seed)
     init_batch = next(iter(data.epoch_batches(1)))
@@ -304,6 +310,7 @@ def cmd_finetune_ctc(args) -> None:
     tx = make_optimizer(
         OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
                     total_steps=args.max_updates, clip_norm=args.clip_norm,
+                    stacked_update=getattr(args, 'stacked_optimizer', False),
                     schedule="tri_stage", hold_steps=args.max_updates * 4 // 10)
     )
     rng = jax.random.PRNGKey(args.seed)
@@ -424,6 +431,7 @@ def cmd_finetune_seq2seq(args) -> None:
     tx = make_optimizer(
         OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
                     total_steps=args.max_updates, clip_norm=args.clip_norm,
+                    stacked_update=getattr(args, 'stacked_optimizer', False),
                     schedule="tri_stage", hold_steps=args.max_updates * 4 // 10)
     )
     rng = jax.random.PRNGKey(args.seed)
@@ -521,7 +529,8 @@ def cmd_train_lm(args) -> None:
     loss_fn = make_lm_loss_fn(model, d.pad())
     tx = make_optimizer(
         OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
-                    total_steps=args.max_updates, clip_norm=args.clip_norm)
+                    total_steps=args.max_updates, clip_norm=args.clip_norm,
+                    stacked_update=getattr(args, 'stacked_optimizer', False))
     )
     rng = jax.random.PRNGKey(args.seed)
     it = iter(data)

@@ -38,6 +38,11 @@ class OptimConfig:
     final_lr_scale: float = 0.05
     # inverse_sqrt
     warmup_init_lr: float = 0.0
+    # group same-shape leaves into stacked arrays for the update
+    # (stack_like_leaves): big single fusions instead of one per leaf.
+    # Exact for uniform adamw + global clip; off by default (FSDP keeps
+    # per-leaf opt-state sharding)
+    stacked_update: bool = False
 
 
 def polynomial_decay_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -114,6 +119,69 @@ def make_schedule(cfg: OptimConfig) -> optax.Schedule:
     raise ValueError(cfg.schedule)
 
 
+def stack_like_leaves(
+    tx: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Run `tx` over same-shape/dtype leaf GROUPS stacked into single
+    arrays.
+
+    With unrolled transformer layers the param tree has ~60 small leaves
+    and XLA emits one elementwise fusion per leaf for the adam update
+    (~7.2 ms/step at WavLM-Base B=16 vs ~2.6 on the scan path's stacked
+    params). MEASURED NEGATIVE on v5e (B=24 A/B: 1713 vs 1761
+    audio-sec/s): the stack/unstack copy passes cost more than the
+    per-leaf overhead they remove — that adam time is HBM-traffic-bound,
+    not launch-bound. Kept as an opt-in for runtimes where per-fusion
+    launch overhead dominates (e.g. many tiny leaves).
+
+    Exact for any elementwise transform with uniform hyper-parameters
+    (adam/adamw here: uniform decoupled decay) and for global-norm clipping
+    (the norm is over all leaves either way). NOT safe around per-leaf
+    masked/labelled transforms — compose those outside. Optimizer state
+    takes the stacked structure (consistent within a run; checkpoints
+    restore it verbatim; under FSDP the stacked m/v fall back to
+    replicated placement, so leave this off for sharded-optimizer runs).
+    """
+
+    def _plan(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        groups = {}
+        for i, leaf in enumerate(leaves):
+            key = (tuple(leaf.shape), jnp.result_type(leaf).name)
+            groups.setdefault(key, []).append(i)
+        return treedef, [tuple(g) for g in groups.values()], len(leaves)
+
+    def _stack(tree, plan):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return [
+            jnp.stack([leaves[i] for i in g]) if len(g) > 1 else leaves[g[0]]
+            for g in plan
+        ]
+
+    def _unstack(stacked, plan, n, treedef):
+        out = [None] * n
+        for s, g in zip(stacked, plan):
+            if len(g) > 1:
+                for j, i in enumerate(g):
+                    out[i] = s[j]
+            else:
+                out[g[0]] = s
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init(params):
+        _, plan, _ = _plan(params)
+        return tx.init(_stack(params, plan))
+
+    def update(grads, state, params=None):
+        treedef, plan, n = _plan(grads)
+        sg = _stack(grads, plan)
+        sp = _stack(params, plan) if params is not None else None
+        su, state = tx.update(sg, state, sp)
+        return _unstack(su, plan, n, treedef), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     """AdamW + optional global-norm clip, LR by schedule.
 
@@ -133,4 +201,7 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
             weight_decay=cfg.weight_decay,
         )
     )
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if cfg.stacked_update:
+        tx = stack_like_leaves(tx)
+    return tx
