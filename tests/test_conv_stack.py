@@ -145,3 +145,78 @@ def test_seed_dropout_matches_mask_semantics():
     # rate 0 identity
     np.testing.assert_array_equal(np.asarray(seed_dropout(x, key, 0.0)),
                                   np.asarray(x))
+
+
+def test_block_affine_matches_xla():
+    """In-kernel per-(b, c) affine (the folded frontend GroupNorm): values
+    and ALL gradients (dx, dw, da, db) vs the explicit normalize + block."""
+    B, T, C, k = 2, 515, 256, 3
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, T, C), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, C, C), jnp.float32) * 0.05
+    a = jax.nn.sigmoid(jax.random.normal(jax.random.PRNGKey(2), (B, C))) + 0.5
+    b = jax.random.normal(jax.random.PRNGKey(3), (B, C)) * 0.1
+
+    def fused(x_, w_, a_, b_):
+        y, t = conv_gelu_block(
+            x_, w_, valid_len=T, gelu_in=True, tile=128, interpret=True,
+            affine=(a_, b_),
+        )
+        return y[:, :t]
+
+    def ref(x_, w_, a_, b_):
+        xa = x_ * a_[:, None, :] + b_[:, None, :]
+        return _ref(xa, w_, True, True)
+
+    y_f = fused(x, w, a, b)
+    y_r = ref(x, w, a, b)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               atol=2e-3, rtol=2e-3)
+
+    def loss(f):
+        return lambda *args: jnp.sum(f(*args).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss(fused), argnums=(0, 1, 2, 3))(x, w, a, b)
+    gr = jax.grad(loss(ref), argnums=(0, 1, 2, 3))(x, w, a, b)
+    for name, af, ar in zip(["dx", "dw", "da", "db"], gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(af), np.asarray(ar), atol=5e-2, rtol=5e-3,
+            err_msg=name,
+        )
+
+
+def test_extractor_affine_gn_matches_plain_gn():
+    """ConvFeatureExtractor parity: the affine-folded gn_0 path (fused
+    chain active) must match the plain Fp32GroupNorm + XLA path. Interpret
+    mode is forced by monkeypatching the TPU gate."""
+    import unispeech_tpu.models.encoder as enc_mod
+    from unispeech_tpu.configs import base_encoder_config
+
+    cfg = base_encoder_config(
+        conv_layers=((64, 10, 5), (64, 3, 2), (64, 3, 2), (64, 2, 2)),
+    )
+    m = enc_mod.ConvFeatureExtractor(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3200))
+    v_plain = m.init({"params": jax.random.PRNGKey(1)}, x)
+    y_plain = m.apply(v_plain, x)
+
+    import unispeech_tpu.ops.pallas.conv_stack as cs
+
+    orig_on_tpu, orig_block = enc_mod._on_tpu, cs.conv_gelu_block
+    try:
+        enc_mod._on_tpu = lambda: True
+        patched = functools.partial(orig_block, interpret=True)
+        # the extractor imports conv_gelu_block at call time from the module
+        cs.conv_gelu_block = patched
+        v_fused = m.init({"params": jax.random.PRNGKey(1)}, x)
+        # identical param trees (gn_0 scale/bias shared between paths)
+        assert jax.tree_util.tree_structure(v_plain) == \
+            jax.tree_util.tree_structure(v_fused)
+        y_fused = m.apply(v_plain, x)
+    finally:
+        enc_mod._on_tpu = orig_on_tpu
+        cs.conv_gelu_block = orig_block
+
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_plain), atol=2e-3, rtol=2e-3
+    )

@@ -184,6 +184,33 @@ class Fp32GroupNorm(nn.Module):
         return _norm(x, mean, var, scale, bias)
 
 
+class Fp32GroupNormAffine(nn.Module):
+    """(a, b) with GroupNorm(x) == x*a + b elementwise, a/b of shape (B, C).
+
+    Same params ("scale"/"bias" — name it like the norm it replaces so
+    checkpoints interchange) and stats as Fp32GroupNorm, but the normalize
+    itself is left to the caller (the fused conv block applies it
+    in-kernel, ops/pallas/conv_stack.py). Gradients through mean/var flow
+    via a(x), b(x) exactly — only (B, C)-sized arrays cross the module
+    boundary. Requires num_groups == C (the frontend's per-channel case)."""
+
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        B, T, C = x.shape
+        assert self.num_groups == C, "affine form needs per-channel groups"
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=1)  # (B, C)
+        var = xf.var(axis=1)
+        a = jax.lax.rsqrt(var + self.eps) * scale
+        b = bias - mean * a
+        return a, b
+
+
 @jax.custom_vjp
 def grad_multiply(x: jax.Array, scale: float) -> jax.Array:
     return x
@@ -331,6 +358,7 @@ class ConvFeatureExtractor(nn.Module):
             for i, (dim, k, s) in enumerate(layers)
         ]
         pending_gelu = False  # previous layer's gelu deferred into the block
+        pending_affine = None  # L0 GroupNorm folded into the next block
         t_valid = None  # valid rows of h while inside a fused chain
         from unispeech_tpu.ops.pallas.conv_stack import conv_gelu_block
 
@@ -350,8 +378,10 @@ class ConvFeatureExtractor(nn.Module):
                 h, t_valid = conv_gelu_block(
                     h, kernel.astype(self.dtype), valid_len=t_valid,
                     gelu_in=pending_gelu,
+                    affine=pending_affine,
                 )
                 pending_gelu = False
+                pending_affine = None
                 if i + 1 == len(layers) or not fuse[i + 1]:
                     h = h[:, :t_valid]  # leave the fused chain
                     t_valid = None
@@ -360,7 +390,16 @@ class ConvFeatureExtractor(nn.Module):
             if mode == "layer_norm":
                 h = Fp32LayerNorm(name=f"ln_{i}")(h)
             elif mode == "default" and i == 0:
-                h = Fp32GroupNorm(num_groups=dim, name="gn_0")(h)
+                if i + 1 < len(layers) and fuse[i + 1]:
+                    # fold the per-channel GroupNorm into the next fused
+                    # block as an in-kernel (B, C) affine: stats computed
+                    # here (reductions of h), the (B, T, C) normalize
+                    # read+write pass disappears (r5: ~2.4 GB/step at B=24)
+                    pending_affine = Fp32GroupNormAffine(
+                        num_groups=dim, name="gn_0"
+                    )(h)
+                else:
+                    h = Fp32GroupNorm(num_groups=dim, name="gn_0")(h)
             if i + 1 < len(layers) and fuse[i + 1]:
                 pending_gelu = True  # the next fused block applies it
             else:

@@ -105,11 +105,25 @@ def _mask_rows(x, start, limit):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, w_ref, y_ref, pre_ref=None, *, k, tile, gelu_in,
-                gelu_out, mask_limit):
+def _fwd_kernel(x_ref, w_ref, *rest, k, tile, gelu_in,
+                gelu_out, mask_limit, has_affine):
+    i = 0
+    a_ref = b_ref = None
+    if has_affine:
+        a_ref, b_ref = rest[0], rest[1]
+        i = 2
+    y_ref = rest[i]
+    pre_ref = rest[i + 1] if gelu_out else None
     X = x_ref[0]  # (2*tile + 8|0, C) rows starting at 2*tile*t
     if mask_limit is not None:  # interpret mode only
         X = _mask_rows(X, 2 * tile * pl.program_id(1), mask_limit)
+    if has_affine:
+        # per-(batch, channel) normalize folded in from the frontend
+        # GroupNorm (encoder.py): x_hat = x*a + b applied on the VMEM tile
+        # — removes the (B, T, C) normalize read+write pass XLA ran between
+        # L0 and this block
+        X = (X.astype(jnp.float32) * a_ref[0, 0] + b_ref[0, 0]).astype(
+            X.dtype)
     if gelu_in:
         X = gelu_poly(X).astype(X.dtype)
     w = w_ref[...]
@@ -131,7 +145,7 @@ def _fwd_kernel(x_ref, w_ref, y_ref, pre_ref=None, *, k, tile, gelu_in,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
+def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w, affine=None):
     B, Ts, C = x.shape
     nt = pl.cdiv(Ts, 2 * tile)  # R = nt*tile >= Ts/2 >= t_out
     R = nt * tile
@@ -148,16 +162,25 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
         x_spec = pl.BlockSpec((1, win, C), lambda b, t: (b, t, 0))
     y_spec = pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0))
     y_shape = jax.ShapeDtypeStruct((B, R, C), x.dtype)
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
+    ]
+    args = [x, w]
+    if affine is not None:
+        # (B, 1, C) carrier: TPU blocks need the last two dims (8,128)-
+        # divisible or full — (1, C) blocks of a (B, C) array are neither
+        ab_spec = pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0))
+        in_specs += [ab_spec, ab_spec]
+        args += [affine[0].reshape(B, 1, C), affine[1].reshape(B, 1, C)]
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, k=k, tile=tile, gelu_in=gelu_in, gelu_out=gelu_out,
             mask_limit=Ts if interpret else None,
+            has_affine=affine is not None,
         ),
         grid=grid,
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[y_spec, y_spec] if gelu_out else y_spec,
         out_shape=[y_shape, y_shape] if gelu_out else y_shape,
         cost_estimate=pl.CostEstimate(
@@ -166,7 +189,7 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w)
+    )(*args)
     return out if gelu_out else (out, None)
 
 
@@ -176,16 +199,32 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w):
 
 
 def _bwd_kernel(x_ref, w_ref, dy_ref, *rest, k, tile, gelu_in,
-                gelu_out, valid_in, valid_out, mask_x, mask_dy):
+                gelu_out, valid_in, valid_out, mask_x, mask_dy,
+                has_affine):
+    i = 0
+    pre_ref = a_ref = b_ref = None
     if gelu_out:
-        pre_ref, dx_ref, dw_ref = rest
-    else:
-        pre_ref, (dx_ref, dw_ref) = None, rest
+        pre_ref = rest[i]
+        i += 1
+    if has_affine:
+        a_ref, b_ref = rest[i], rest[i + 1]
+        i += 2
+    dx_ref, dw_ref = rest[i], rest[i + 1]
+    if has_affine:
+        da_ref, db_ref = rest[i + 2], rest[i + 3]
     b, t = pl.program_id(0), pl.program_id(1)
 
     @pl.when((b == 0) & (t == 0))
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    if has_affine:
+        # (1, C) per-batch affine-grad accumulators: same output block for
+        # every t of one batch row (sequential revisiting), fresh per b
+        @pl.when(t == 0)
+        def _():
+            da_ref[...] = jnp.zeros_like(da_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
 
     w = w_ref[...]
     # Window starts (k=3): X0 = max(2 tile t - 16, 0), Y0 = max(tile t - 8, 0)
@@ -216,6 +255,12 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, *rest, k, tile, gelu_in,
     # the g-side mask below covers the finite partial-window rows)
     xi = jax.lax.broadcasted_iota(jnp.int32, (Xw.shape[0], 1), 0)
     Xw = jnp.where(x_start + xi < valid_in, Xw, 0)
+    Xraw = Xw  # pre-affine rows (the affine grads contract against them)
+    if has_affine:
+        # invalid rows become b (finite): safe — every contraction they
+        # could enter is zeroed on the other side (g masks below)
+        Xw = (Xw.astype(jnp.float32) * a_ref[0, 0] + b_ref[0, 0]).astype(
+            Xw.dtype)
     H = gelu_poly(Xw).astype(Xw.dtype) if gelu_in else Xw
     H2 = H.reshape(H.shape[0] // 2, 2 * C)
     li = jax.lax.broadcasted_iota(jnp.int32, (ywin, 1), 0)
@@ -273,6 +318,21 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, *rest, k, tile, gelu_in,
     # dgelu of NaN garbage rows above) never flows upstream as a cotangent
     ri = jax.lax.broadcasted_iota(jnp.int32, (2 * tile, 1), 0)
     dX = jnp.where(2 * tile * t + ri < valid_in, dX, 0.0)
+    if has_affine:
+        # x_hat = x*a + b  =>  da += sum_rows dX_hat * x_raw, db += sum
+        # dX_hat, dx = dX_hat * a — dx rows are disjoint across programs,
+        # so per-(b, c) accumulation over t is exact
+        if k == 3:
+            raw = jnp.where(
+                s0 == 1, Xraw[16 : 2 * tile + 16], Xraw[0 : 2 * tile]
+            )
+        else:
+            raw = Xraw
+        da_ref[...] += jnp.sum(
+            dX * raw.astype(jnp.float32), axis=0
+        )[None, None]
+        db_ref[...] += jnp.sum(dX, axis=0)[None, None]
+        dX = dX * a_ref[0, 0]
     dx_ref[0] = dX.astype(dx_ref.dtype)
 
     # weight gradient over this program's OWN output rows only (halo rows
@@ -287,7 +347,7 @@ def _bwd_kernel(x_ref, w_ref, dy_ref, *rest, k, tile, gelu_in,
 
 
 def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy,
-             pre=None):
+             pre=None, affine=None):
     B, Ts, C = x.shape
     Ry = dy.shape[1]
     # tile 512 exceeded the 16 MB scoped-VMEM limit by ~1.7 MB while this
@@ -328,38 +388,61 @@ def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy,
         x_spec = pl.BlockSpec((1, xwin, C), lambda b, t: (b, t, 0))
         dy_spec = pl.BlockSpec((1, ywin, C), lambda b, t: (b, t, 0))
     valid_out = (valid_in - k) // 2 + 1
-    dx, dw = pl.pallas_call(
+    has_affine = affine is not None
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
+        dy_spec,
+    ]
+    args = [x, w, dy]
+    if gelu_out:  # saved pre, same windows as dy
+        in_specs.append(dy_spec)
+        args.append(pre)
+    ab_spec = pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0))
+    if has_affine:
+        in_specs += [ab_spec, ab_spec]
+        args += [affine[0].reshape(B, 1, C), affine[1].reshape(B, 1, C)]
+    out_specs = [
+        # blocked spec over the exact (B, Ts, C) dx shape: the last
+        # (possibly partial) block's out-of-bounds rows are masked by
+        # the pipeline, so no post-slice copy is needed
+        pl.BlockSpec((1, 2 * tile, C), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Ts, C), x.dtype),
+        jax.ShapeDtypeStruct((k, C, C), jnp.float32),
+    ]
+    if has_affine:
+        out_specs += [ab_spec, ab_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel, k=k, tile=tile, gelu_in=gelu_in, gelu_out=gelu_out,
             valid_in=valid_in, valid_out=valid_out,
             mask_x=Ts if interpret else None,
             mask_dy=Ry if interpret else None,
+            has_affine=has_affine,
         ),
         grid=grid,
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
-            dy_spec,
-        ] + ([dy_spec] if gelu_out else []),  # saved pre, same windows as dy
-        out_specs=[
-            # blocked spec over the exact (B, Ts, C) dx shape: the last
-            # (possibly partial) block's out-of-bounds rows are masked by
-            # the pipeline, so no post-slice copy is needed
-            pl.BlockSpec((1, 2 * tile, C), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Ts, C), x.dtype),
-            jax.ShapeDtypeStruct((k, C, C), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=6 * B * Ry * C * k * C,
             bytes_accessed=2 * B * Ts * C * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*((x, w, dy, pre) if gelu_out else (x, w, dy)))
-    return dx, dw
+    )(*args)
+    if has_affine:
+        dx, dw, da, db = outs
+        return dx, dw, da[:, 0], db[:, 0]
+    dx, dw = outs
+    return dx, dw, None, None
 
 
 # ---------------------------------------------------------------------------
@@ -368,20 +451,23 @@ def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _block(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w):
-    return _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w)[0]
+def _block(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, a, b):
+    affine = None if a is None else (a, b)
+    return _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w, affine)[0]
 
 
-def _block_fwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w):
-    y, pre = _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w)
-    return y, (x, w, pre)
+def _block_fwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, a, b):
+    affine = None if a is None else (a, b)
+    y, pre = _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w, affine)
+    return y, (x, w, pre, a, b)
 
 
 def _block_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, res, dy):
-    x, w, pre = res
-    dx, dw = _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w,
-                      dy, pre)
-    return dx, dw.astype(w.dtype)
+    x, w, pre, a, b = res
+    affine = None if a is None else (a, b)
+    dx, dw, da, db = _run_bwd(k, tile, gelu_in, gelu_out, valid_in,
+                              interpret, x, w, dy, pre, affine)
+    return dx, dw.astype(w.dtype), da, db
 
 
 _block.defvjp(_block_fwd, _block_bwd)
@@ -395,8 +481,17 @@ def conv_gelu_block(
     gelu_out: bool = True,
     tile: int = 512,  # tile sweep at Base bench shapes: 512 > 384 > 256
     interpret: bool = False,
+    affine=None,  # ((B, C), (B, C)) fp32: x*a + b applied before gelu_in
 ):
-    """One fused frontend stage: y = gelu?(conv_{k,s=2}(gelu_in?(x))).
+    """One fused frontend stage:
+    y = gelu?( conv_{k,s=2}( gelu_in?( affine?(x) ) ) ).
+
+    `affine` folds a per-(batch, channel) normalize (the frontend
+    GroupNorm's x*rstd*scale + (bias - mean*rstd*scale)) into the kernel —
+    stats stay outside (they are reductions of x the caller already
+    computes), but the (B, T, C) normalize read+write pass disappears and
+    the backward emits da/db alongside dx/dw, so autodiff through the
+    stats runs on (B, C) arrays only.
 
     Returns (y, t_out): y has nt*tile >= t_out storage rows; rows beyond
     t_out are finite garbage no valid downstream window reads. Slice
@@ -409,6 +504,9 @@ def conv_gelu_block(
         # k=2 path uses plain blocked windows; pad storage to a multiple
         pad = -x.shape[1] % (2 * tile)
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    a, b = (None, None) if affine is None else (
+        affine[0].astype(jnp.float32), affine[1].astype(jnp.float32)
+    )
     y = _block(k, tile, gelu_in, gelu_out, valid_len, interpret, x,
-               kernel.astype(x.dtype))
+               kernel.astype(x.dtype), a, b)
     return y, t_out
