@@ -291,3 +291,37 @@ def test_streaming_mask_parity_on_chip():
         assert d.mean() < 2e-3 * scale, (name, d.mean(), scale)
         outliers = np.mean((d > 5e-2 * scale) & (d > 0.1 * np.abs(e)))
         assert outliers < 1e-3, (name, outliers)
+
+
+def test_packed_matches_headmajor_layout_under_dropout(monkeypatch):
+    """The packed (B, T, H*hd) layout kernels (r5) must reproduce the
+    head-major kernels bit-for-bit — including the dropout mask stream,
+    whose per-(batch*head, stripe) seeding is layout-independent by
+    construction — so a shape-driven fallback between layouts can never
+    change training results. HD=64 -> hpp=2 packs two heads per program."""
+    from unispeech_tpu.ops.pallas import flash_attention as fa
+
+    q, k, v, b, g = _make(seed=3)
+    assert fa._packed_q_tile(
+        256, 256, HD, 128 // HD, 256, 2, has_bias=True, has_amask=False
+    ) is not None  # shapes really take the packed path
+
+    def run(q_, k_, v_, b_, g_, s):
+        return fused_attention(q_, k_, v_, b_, g_, None,
+                               dropout_rate=RATE, dropout_seed=s)
+
+    def loss(q_, k_, v_, b_, g_, s):
+        return jnp.sum(run(q_, k_, v_, b_, g_, s).astype(jnp.float32) ** 2)
+
+    seed = jnp.int32(11)
+    o_pk = np.asarray(jax.jit(run)(q, k, v, b, g, seed))
+    g_pk = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(q, k, v, b, g, seed)
+
+    monkeypatch.setattr(fa, "_packed_q_tile", lambda *a, **kw: None)
+    o_hm = np.asarray(jax.jit(run)(q, k, v, b, g, seed))
+    g_hm = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(q, k, v, b, g, seed)
+
+    np.testing.assert_array_equal(o_pk, o_hm)
+    for name, a, e in zip(["dq", "dk", "dv", "dbias", "dgate"], g_pk, g_hm):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(e), err_msg=name)
