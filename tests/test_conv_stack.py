@@ -201,13 +201,17 @@ def test_extractor_affine_gn_matches_plain_gn():
     y_plain = m.apply(v_plain, x)
 
     import unispeech_tpu.ops.pallas.conv_stack as cs
+    import unispeech_tpu.ops.pallas.l1_frontend as l1f
 
     orig_on_tpu, orig_block = enc_mod._on_tpu, cs.conv_gelu_block
+    orig_l1 = l1f.l1_conv_with_stats
     try:
         enc_mod._on_tpu = lambda: True
         patched = functools.partial(orig_block, interpret=True)
-        # the extractor imports conv_gelu_block at call time from the module
+        # the extractor imports conv_gelu_block / l1_conv_with_stats at
+        # call time from their modules
         cs.conv_gelu_block = patched
+        l1f.l1_conv_with_stats = functools.partial(orig_l1, interpret=True)
         v_fused = m.init({"params": jax.random.PRNGKey(1)}, x)
         # identical param trees (gn_0 scale/bias shared between paths)
         assert jax.tree_util.tree_structure(v_plain) == \
@@ -216,6 +220,7 @@ def test_extractor_affine_gn_matches_plain_gn():
     finally:
         enc_mod._on_tpu = orig_on_tpu
         cs.conv_gelu_block = orig_block
+        l1f.l1_conv_with_stats = orig_l1
 
     np.testing.assert_allclose(
         np.asarray(y_fused), np.asarray(y_plain), atol=2e-3, rtol=2e-3

@@ -114,6 +114,16 @@ class EncoderConfig:
     # path at Base bench shapes (scripts/exp_conv_stack_tpu.py). TPU only.
     use_fused_conv: bool = True
 
+    # Fuse the first (waveform, cin=1) conv layer with the frontend
+    # GroupNorm statistics into one Pallas pass, and fold its backward's
+    # stats-backprop + dW1 into a second single pass
+    # (ops/pallas/l1_frontend.py). The L1 output is the largest tensor of
+    # the model (~1.2 GB bf16 at Base bench shapes) and the unfused path
+    # spent ~12.5 ms/step of pure HBM traffic on it in the forward alone.
+    # Effective only when use_fused_conv is active and the next layer is a
+    # fused block. TPU only.
+    use_fused_l1: bool = True
+
     # Stack the transformer layers with nn.scan (single compiled layer body,
     # params get a leading L axis) and rematerialize activations inside each
     # layer (jax.checkpoint) so attention/FFN intermediates are never saved

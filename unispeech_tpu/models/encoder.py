@@ -198,14 +198,21 @@ class Fp32GroupNormAffine(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array):
-        B, T, C = x.shape
+    def __call__(self, x: Optional[jax.Array] = None, stats=None):
+        if stats is None:
+            B, T, C = x.shape
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=1)  # (B, C)
+            var = xf.var(axis=1)
+        else:
+            # (mean, var) precomputed — the fused L1 kernel accumulates
+            # sum/sumsq in its single pass over the conv output
+            # (ops/pallas/l1_frontend.py); x is not needed at all
+            mean, var = stats
+            C = mean.shape[-1]
         assert self.num_groups == C, "affine form needs per-channel groups"
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=1)  # (B, C)
-        var = xf.var(axis=1)
         a = jax.lax.rsqrt(var + self.eps) * scale
         b = bias - mean * a
         return a, b
@@ -371,6 +378,36 @@ class ConvFeatureExtractor(nn.Module):
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )
+            if (
+                i == 0
+                and can_fuse
+                and self.cfg.use_fused_l1
+                and len(layers) > 1
+                and fuse[1]
+                and h.shape[-1] == 1
+                and k <= 2 * stride
+                and stride <= 8
+            ):
+                # fused L1 + GroupNorm stats: one pass from the raw
+                # waveform emits the conv output AND the per-(B, C)
+                # sum/sumsq — the (B, ~49k, 512) tensor is written once
+                # and never re-read on the XLA side in either direction
+                # (ops/pallas/l1_frontend.py)
+                from unispeech_tpu.ops.pallas.l1_frontend import (
+                    l1_conv_with_stats,
+                )
+
+                kernel = conv(h, kernel_only=True)
+                h, s1, s2, t_valid = l1_conv_with_stats(
+                    x, kernel, stride, dtype=self.dtype
+                )
+                mean = s1 / t_valid
+                var = jnp.maximum(s2 / t_valid - mean * mean, 0.0)
+                pending_affine = Fp32GroupNormAffine(
+                    num_groups=dim, name="gn_0"
+                )(stats=(mean, var))
+                pending_gelu = True
+                continue
             if fuse[i]:
                 kernel = conv(h, kernel_only=True)
                 if t_valid is None:

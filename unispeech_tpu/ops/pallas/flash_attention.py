@@ -765,23 +765,40 @@ def _fwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref,
                        has_bias: bool, has_mask: bool, has_amask: bool):
     g = pl.program_id(0)
     b = pl.program_id(1)
+    G = pl.num_programs(0)
     Tp = q_ref.shape[1]
     NQ = Tp // q_tile
 
     if has_bias:
+        # double-buffered whole-group bias residency: group g reads slot
+        # g%2; its first batch program waits for its own slot (started by
+        # group g-1, or by itself when g == 0) and then prefetches group
+        # g+1's bias into the other slot — the load overlaps all of group
+        # g's compute instead of blocking each group's first program
+        # (~24 us x G x 2 directions per layer, the dominant cost at
+        # small batch)
+        def group_dma(slot, grp):
+            return [
+                pltpu.make_async_copy(
+                    bias_hbm.at[grp * hpp + hh], bias_buf.at[slot, hh],
+                    sem_in.at[slot, hh],
+                )
+                for hh in range(hpp)
+            ]
+
         @pl.when(b == 0)
         def _():
-            for hh in range(hpp):
-                cp = pltpu.make_async_copy(
-                    bias_hbm.at[g * hpp + hh], bias_buf.at[hh],
-                    sem_in.at[hh],
-                )
-                cp.start()
-            for hh in range(hpp):
-                pltpu.make_async_copy(
-                    bias_hbm.at[g * hpp + hh], bias_buf.at[hh],
-                    sem_in.at[hh],
-                ).wait()
+            @pl.when(g == 0)
+            def _():
+                for cp in group_dma(0, 0):
+                    cp.start()
+            for cp in group_dma(g % 2, g):
+                cp.wait()
+            @pl.when(g + 1 < G)
+            def _():
+                for cp in group_dma((g + 1) % 2, g + 1):
+                    cp.start()
+        bias_res = bias_buf.at[g % 2]
     if has_amask:
         @pl.when((g == 0) & (b == 0))
         def _():
@@ -806,7 +823,7 @@ def _fwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref,
             )  # (TQ, Sp)
             if has_bias:
                 gate = gate_ref[hh, 0, sl, :].astype(jnp.float32)  # (TQ, 1)
-                s = s + gate * bias_buf[hh, sl, :].astype(jnp.float32)
+                s = s + gate * bias_res[hh, sl, :].astype(jnp.float32)
             if has_amask:
                 s = s + amask_buf[sl, :].astype(jnp.float32)
             if has_mask:
@@ -890,8 +907,8 @@ def _run_forward_packed(qp, kp, vp, biasp, gatep, addmask, amaskp, seed, *,
         ]
         args += [biasp, gatep]
         scratch = [
-            pltpu.VMEM((hpp, Tp, Sp), biasp.dtype),
-            pltpu.SemaphoreType.DMA((hpp,)),
+            pltpu.VMEM((2, hpp, Tp, Sp), biasp.dtype),  # double-buffered
+            pltpu.SemaphoreType.DMA((2, hpp)),
         ]
     if has_mask:
         in_specs.append(
@@ -959,26 +976,37 @@ def _bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref,
     natural-layout tensors; same gradient math as _bwd_kernel."""
     g = pl.program_id(0)
     b = pl.program_id(1)
+    G = pl.num_programs(0)
     Tp = q_ref.shape[1]
     NQ = Tp // q_tile
 
     dk_acc[...] = jnp.zeros_like(dk_acc)
     dv_acc[...] = jnp.zeros_like(dv_acc)
     if has_bias:
+        # double-buffered cross-group bias prefetch (see _fwd_kernel_packed)
+        def group_dma(slot, grp):
+            return [
+                pltpu.make_async_copy(
+                    bias_hbm.at[grp * hpp + hh], bias_buf.at[slot, hh],
+                    sem_in.at[slot, hh],
+                )
+                for hh in range(hpp)
+            ]
+
         @pl.when(b == 0)
         def _():
             dbias_acc[...] = jnp.zeros_like(dbias_acc)
-            for hh in range(hpp):
-                cp = pltpu.make_async_copy(
-                    bias_hbm.at[g * hpp + hh], bias_buf.at[hh],
-                    sem_in.at[hh],
-                )
-                cp.start()
-            for hh in range(hpp):
-                pltpu.make_async_copy(
-                    bias_hbm.at[g * hpp + hh], bias_buf.at[hh],
-                    sem_in.at[hh],
-                ).wait()
+            @pl.when(g == 0)
+            def _():
+                for cp in group_dma(0, 0):
+                    cp.start()
+            for cp in group_dma(g % 2, g):
+                cp.wait()
+            @pl.when(g + 1 < G)
+            def _():
+                for cp in group_dma((g + 1) % 2, g + 1):
+                    cp.start()
+        bias_res = bias_buf.at[g % 2]
     if has_amask:
         @pl.when((g == 0) & (b == 0))
         def _():
@@ -1011,7 +1039,7 @@ def _bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_hbm, gate_ref,
                 preferred_element_type=jnp.float32,
             )
             if has_bias:
-                bias = bias_buf[hh, sl, :].astype(jnp.float32)  # (TQ, Sp)
+                bias = bias_res[hh, sl, :].astype(jnp.float32)  # (TQ, Sp)
                 gate = gate_ref[hh, 0, sl, :].astype(jnp.float32)
                 s = s + gate * bias
             if has_amask:
@@ -1206,9 +1234,9 @@ def _run_backward_packed(qp, kp, vp, biasp, gatep, addmask, amaskp, seed,
         ]
         scratch += [
             pltpu.VMEM((hpp, Tp, Sp), jnp.float32),  # dbias accumulator
-            pltpu.VMEM((hpp, Tp, Sp), biasp.dtype),  # resident bias
+            pltpu.VMEM((2, hpp, Tp, Sp), biasp.dtype),  # dbl-buf bias
             pltpu.VMEM((2, q_tile, Sp), biasp.dtype),  # dbias out staging
-            pltpu.SemaphoreType.DMA((hpp,)),  # bias in
+            pltpu.SemaphoreType.DMA((2, hpp)),  # bias in
             pltpu.SemaphoreType.DMA((2,)),  # dbias out
         ]
     if has_amask:
@@ -1268,7 +1296,7 @@ def _vmem_est_packed(Tp, Sp, hd, hpp, q_tile, itemsize, *, direction: str,
             + 3 * q_tile * Sp * 4                # stripe temporaries
         )
         if has_bias:
-            est += hpp * Tp * Sp * itemsize      # resident bias
+            est += 2 * hpp * Tp * Sp * itemsize  # dbl-buffered bias
     else:
         est = (
             (3 * Tp + 2 * Sp) * Dblk * itemsize * 2  # q/out/dO + k/v blocks
@@ -1280,7 +1308,7 @@ def _vmem_est_packed(Tp, Sp, hd, hpp, q_tile, itemsize, *, direction: str,
         if has_bias:
             est += (
                 hpp * Tp * Sp * 4                # dbias fp32 accumulator
-                + hpp * Tp * Sp * itemsize       # resident bias
+                + 2 * hpp * Tp * Sp * itemsize   # dbl-buffered bias
                 + 2 * q_tile * Sp * itemsize     # dbias out staging
             )
     if has_amask:
