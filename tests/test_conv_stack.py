@@ -225,3 +225,56 @@ def test_extractor_affine_gn_matches_plain_gn():
     np.testing.assert_allclose(
         np.asarray(y_fused), np.asarray(y_plain), atol=2e-3, rtol=2e-3
     )
+
+
+def test_extractor_layer_norm_fused_matches_plain():
+    """layer_norm-mode parity (r5): norm-free Pallas conv blocks + XLA
+    Fp32LayerNorm over PADDED storage + deferred gelu_in must match the
+    plain unfused path. Covers the fused-L1 no-stats variant, the
+    exact-zero-beyond-valid block invariant the storage-wide LN relies on,
+    and gradient flow through every ln_i scale/bias."""
+    import unispeech_tpu.models.encoder as enc_mod
+    import unispeech_tpu.ops.pallas.conv_stack as cs
+    import unispeech_tpu.ops.pallas.l1_frontend as l1f
+    from unispeech_tpu.configs import base_encoder_config
+
+    cfg = base_encoder_config(
+        extractor_mode="layer_norm",
+        conv_layers=((64, 10, 5), (64, 3, 2), (64, 3, 2), (64, 2, 2)),
+    )
+    m = enc_mod.ConvFeatureExtractor(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3200))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x)
+
+    def loss(v, x):
+        return jnp.sum(m.apply(v, x).astype(jnp.float32) ** 2)
+
+    y_plain = m.apply(v, x)
+    g_plain = jax.grad(loss)(v, x)
+
+    orig_on_tpu, orig_block = enc_mod._on_tpu, cs.conv_gelu_block
+    orig_l1 = l1f.l1_conv_with_stats
+    try:
+        enc_mod._on_tpu = lambda: True
+        cs.conv_gelu_block = functools.partial(orig_block, interpret=True)
+        l1f.l1_conv_with_stats = functools.partial(orig_l1, interpret=True)
+        v_fused = m.init({"params": jax.random.PRNGKey(1)}, x)
+        assert jax.tree_util.tree_structure(v) == \
+            jax.tree_util.tree_structure(v_fused)
+        y_fused = m.apply(v, x)
+        g_fused = jax.grad(loss)(v, x)
+    finally:
+        enc_mod._on_tpu = orig_on_tpu
+        cs.conv_gelu_block = orig_block
+        l1f.l1_conv_with_stats = orig_l1
+
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_plain), atol=2e-3, rtol=2e-3
+    )
+    flat_p = jax.tree_util.tree_leaves_with_path(g_plain)
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    for (path, a), b in zip(flat_p, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-2, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )

@@ -348,9 +348,15 @@ class ConvFeatureExtractor(nn.Module):
         # chain with NO intermediate XLA ops (padded storage rows flow
         # through; the valid length is tracked statically and sliced once
         # when leaving the chain).
+        # both norm modes fuse: "default" chains conv->gelu blocks with the
+        # L0 GroupNorm folded in as a (B, C) affine; "layer_norm" (r5) runs
+        # the convs as norm-free Pallas blocks and keeps each per-layer
+        # Fp32LayerNorm in XLA over the PADDED storage (valid because the
+        # blocks write exact zeros beyond the valid length), deferring each
+        # post-LN GELU into the next block's gelu_in
         can_fuse = (
             self.cfg.use_fused_conv
-            and mode == "default"
+            and mode in ("default", "layer_norm")
             and not self.cfg.conv_bias
             and _on_tpu()
         )
@@ -398,14 +404,21 @@ class ConvFeatureExtractor(nn.Module):
                 )
 
                 kernel = conv(h, kernel_only=True)
-                h, s1, s2, t_valid = l1_conv_with_stats(
-                    x, kernel, stride, dtype=self.dtype
-                )
-                mean = s1 / t_valid
-                var = jnp.maximum(s2 / t_valid - mean * mean, 0.0)
-                pending_affine = Fp32GroupNormAffine(
-                    num_groups=dim, name="gn_0"
-                )(stats=(mean, var))
+                if mode == "default":
+                    h, s1, s2, t_valid = l1_conv_with_stats(
+                        x, kernel, stride, dtype=self.dtype
+                    )
+                    mean = s1 / t_valid
+                    var = jnp.maximum(s2 / t_valid - mean * mean, 0.0)
+                    pending_affine = Fp32GroupNormAffine(
+                        num_groups=dim, name="gn_0"
+                    )(stats=(mean, var))
+                else:  # layer_norm: per-layer LN in XLA, no stats needed
+                    h, _, _, t_valid = l1_conv_with_stats(
+                        x, kernel, stride, dtype=self.dtype,
+                        with_stats=False,
+                    )
+                    h = Fp32LayerNorm(name="ln_0")(h)
                 pending_gelu = True
                 continue
             if fuse[i]:
@@ -415,10 +428,23 @@ class ConvFeatureExtractor(nn.Module):
                 h, t_valid = conv_gelu_block(
                     h, kernel.astype(self.dtype), valid_len=t_valid,
                     gelu_in=pending_gelu,
+                    gelu_out=mode == "default",
                     affine=pending_affine,
                 )
                 pending_gelu = False
                 pending_affine = None
+                if mode == "layer_norm":
+                    # per-layer fp32 LN in XLA over the padded storage:
+                    # rows >= t_valid are exact zeros (block invariant), so
+                    # LN maps them to finite constants and their zero
+                    # cotangents contribute nothing to scale/bias grads;
+                    # the post-LN GELU defers into the next block's
+                    # gelu_in when the chain continues
+                    h = Fp32LayerNorm(name=f"ln_{i}")(h)
+                    if i + 1 < len(layers) and fuse[i + 1]:
+                        pending_gelu = True
+                    else:
+                        h = gelu_fp32(h)
                 if i + 1 == len(layers) or not fuse[i + 1]:
                     h = h[:, :t_valid]  # leave the fused chain
                     t_valid = None

@@ -106,7 +106,7 @@ def _mask_rows(x, start, limit):
 
 
 def _fwd_kernel(x_ref, w_ref, *rest, k, tile, gelu_in,
-                gelu_out, mask_limit, has_affine):
+                gelu_out, mask_limit, has_affine, valid_out):
     i = 0
     a_ref = b_ref = None
     if has_affine:
@@ -134,6 +134,14 @@ def _fwd_kernel(x_ref, w_ref, *rest, k, tile, gelu_in,
     acc = _dot(xe, w[0]) + _dot(xo, w[1])
     if k == 3:
         acc = acc + _dot(X2[1 : tile + 1, :C], w[2])
+    # zero storage rows at/beyond the valid output length: window rows
+    # past the input's storage end are Mosaic Element-pad garbage (can be
+    # NaN on silicon), and downstream consumers that touch storage rows
+    # elementwise (the layer_norm-mode XLA LN/GELU between fused blocks)
+    # must never see non-finite values — 0 * NaN = NaN would poison the
+    # LN parameter grads even under a zero cotangent
+    li = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    acc = jnp.where(tile * pl.program_id(1) + li < valid_out, acc, 0.0)
     if gelu_out:
         # save the pre-activation: the backward's output-gelu derivative
         # reads it from HBM instead of re-running the k recompute matmuls
@@ -145,7 +153,8 @@ def _fwd_kernel(x_ref, w_ref, *rest, k, tile, gelu_in,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w, affine=None):
+def _run_fwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w,
+             affine=None):
     B, Ts, C = x.shape
     nt = pl.cdiv(Ts, 2 * tile)  # R = nt*tile >= Ts/2 >= t_out
     R = nt * tile
@@ -178,6 +187,7 @@ def _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w, affine=None):
             _fwd_kernel, k=k, tile=tile, gelu_in=gelu_in, gelu_out=gelu_out,
             mask_limit=Ts if interpret else None,
             has_affine=affine is not None,
+            valid_out=(valid_in - k) // 2 + 1,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -453,12 +463,14 @@ def _run_bwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, dy,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _block(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, a, b):
     affine = None if a is None else (a, b)
-    return _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w, affine)[0]
+    return _run_fwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w,
+                    affine)[0]
 
 
 def _block_fwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w, a, b):
     affine = None if a is None else (a, b)
-    y, pre = _run_fwd(k, tile, gelu_in, gelu_out, interpret, x, w, affine)
+    y, pre = _run_fwd(k, tile, gelu_in, gelu_out, valid_in, interpret, x, w,
+                      affine)
     return y, (x, w, pre, a, b)
 
 

@@ -47,13 +47,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _fwd_kernel(x2_ref, w_ref, y_ref, s1_ref, s2_ref, *, tile, t1):
+def _fwd_kernel(x2_ref, w_ref, *out_refs, tile, t1, stats):
+    y_ref = out_refs[0]
     b, t = pl.program_id(0), pl.program_id(1)
 
-    @pl.when(t == 0)
-    def _():
-        s1_ref[...] = jnp.zeros_like(s1_ref)
-        s2_ref[...] = jnp.zeros_like(s2_ref)
+    if stats:
+        s1_ref, s2_ref = out_refs[1], out_refs[2]
+
+        @pl.when(t == 0)
+        def _():
+            s1_ref[...] = jnp.zeros_like(s1_ref)
+            s2_ref[...] = jnp.zeros_like(s2_ref)
 
     X2 = x2_ref[0]  # (tile + 8, 8) rows starting at tile*t
     # zero rows at/beyond the valid output length (zero-pad region of the
@@ -75,13 +79,14 @@ def _fwd_kernel(x2_ref, w_ref, y_ref, s1_ref, s2_ref, *, tile, t1):
     acc = jnp.where(tile * t + li < t1, acc, 0.0)
     ybf = acc.astype(y_ref.dtype)
     y_ref[0] = ybf
-    yf = ybf.astype(jnp.float32)
-    s1_ref[0, 0] += jnp.sum(yf, axis=0)
-    s2_ref[0, 0] += jnp.sum(yf * yf, axis=0)
+    if stats:
+        yf = ybf.astype(jnp.float32)
+        s1_ref[0, 0] += jnp.sum(yf, axis=0)
+        s2_ref[0, 0] += jnp.sum(yf * yf, axis=0)
 
 
 def _bwd_kernel(x2_ref, w_ref, dy_ref, ds1_ref, ds2_ref, dw_ref,
-                *, tile, t1):
+                *, tile, t1, stats):
     b, t = pl.program_id(0), pl.program_id(1)
 
     @pl.when((b == 0) & (t == 0))
@@ -94,27 +99,33 @@ def _bwd_kernel(x2_ref, w_ref, dy_ref, ds1_ref, ds2_ref, dw_ref,
     w = w_ref[...]
     xa = X2[:tile]
     xb = X2[1 : tile + 1]
-    # recompute the bf16-rounded y1 tile (same dots as the forward ->
-    # bit-identical) for the sum-of-squares backprop term
-    acc = jax.lax.dot_general(
-        xa, w[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        xb, w[1], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    y1f = acc.astype(dy_ref.dtype).astype(jnp.float32)
-
-    # dy1 = upstream cotangent + stats backprop; rows >= t1 masked (the
-    # ds1 broadcast would otherwise inject gradient into padding rows)
     li = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-    dy = (
-        dy_ref[0].astype(jnp.float32)
-        + ds1_ref[0, 0].astype(jnp.float32)
-        + 2.0 * ds2_ref[0, 0].astype(jnp.float32) * y1f
-    )
-    dy = jnp.where(tile * t + li < t1, dy, 0.0)
-    dyc = dy.astype(X2.dtype)
+    if stats:
+        # recompute the bf16-rounded y1 tile (same dots as the forward ->
+        # bit-identical) for the sum-of-squares backprop term
+        acc = jax.lax.dot_general(
+            xa, w[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            xb, w[1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y1f = acc.astype(dy_ref.dtype).astype(jnp.float32)
+
+        # dy1 = upstream cotangent + stats backprop; rows >= t1 masked
+        # (the ds1 broadcast would otherwise inject gradient into padding
+        # rows)
+        dy = (
+            dy_ref[0].astype(jnp.float32)
+            + ds1_ref[0, 0].astype(jnp.float32)
+            + 2.0 * ds2_ref[0, 0].astype(jnp.float32) * y1f
+        )
+        dy = jnp.where(tile * t + li < t1, dy, 0.0)
+        dyc = dy.astype(X2.dtype)
+    else:
+        dyc = jnp.where(
+            tile * t + li < t1, dy_ref[0].astype(jnp.float32), 0.0
+        ).astype(X2.dtype)
     dw_ref[0] += jax.lax.dot_general(
         xa, dyc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -150,7 +161,7 @@ def _pack_w(kernel: jax.Array, stride: int, dtype) -> jax.Array:
     return jnp.stack([wA, wB]).astype(dtype)
 
 
-def _run_fwd(tile, t1, interpret, x2, w):
+def _run_fwd(tile, t1, interpret, x2, w, stats=True):
     B, R1, _ = x2.shape
     R = R1 - 1
     nt = R // tile
@@ -161,8 +172,10 @@ def _run_fwd(tile, t1, interpret, x2, w):
         (pl.Element(1), pl.Element(tile + 8, (0, xpad)), pl.Element(8)),
         lambda b, t: (b, tile * t, 0),
     )
-    y, s1, s2 = pl.pallas_call(
-        functools.partial(_fwd_kernel, tile=tile, t1=t1),
+    s_specs = [pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0))] * 2
+    s_shapes = [jax.ShapeDtypeStruct((B, 1, C), jnp.float32)] * 2
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, tile=tile, t1=t1, stats=stats),
         grid=grid,
         in_specs=[
             x_spec,
@@ -170,14 +183,10 @@ def _run_fwd(tile, t1, interpret, x2, w):
         ],
         out_specs=[
             pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0)),
-        ],
+        ] + (s_specs if stats else []),
         out_shape=[
             jax.ShapeDtypeStruct((B, R, C), x2.dtype),
-            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
-        ],
+        ] + (s_shapes if stats else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * R * 16 * C,
             bytes_accessed=B * R * C * 2 + B * R1 * 16,
@@ -185,10 +194,13 @@ def _run_fwd(tile, t1, interpret, x2, w):
         ),
         interpret=interpret,
     )(x2, w)
-    return y, s1[:, 0], s2[:, 0]
+    if stats:
+        y, s1, s2 = outs
+        return y, s1[:, 0], s2[:, 0]
+    return outs[0] if isinstance(outs, (list, tuple)) else outs, None, None
 
 
-def _run_bwd(tile, t1, interpret, x2, w, dy, ds1, ds2):
+def _run_bwd(tile, t1, interpret, x2, w, dy, ds1, ds2, stats=True):
     B, R1, _ = x2.shape
     R = R1 - 1
     nt = R // tile
@@ -200,7 +212,7 @@ def _run_bwd(tile, t1, interpret, x2, w, dy, ds1, ds2):
         lambda b, t: (b, tile * t, 0),
     )
     dw = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile=tile, t1=t1),
+        functools.partial(_bwd_kernel, tile=tile, t1=t1, stats=stats),
         grid=grid,
         in_specs=[
             x_spec,
@@ -221,23 +233,30 @@ def _run_bwd(tile, t1, interpret, x2, w, dy, ds1, ds2):
     return dw
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _l1(stride, tile, t1, interpret, x2, kernel):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _l1(stride, tile, t1, interpret, stats, x2, kernel):
     w = _pack_w(kernel, stride, x2.dtype)
-    return _run_fwd(tile, t1, interpret, x2, w)
+    outs = _run_fwd(tile, t1, interpret, x2, w, stats=stats)
+    return outs if stats else outs[0]
 
 
-def _l1_fwd(stride, tile, t1, interpret, x2, kernel):
-    outs = _l1(stride, tile, t1, interpret, x2, kernel)
+def _l1_fwd(stride, tile, t1, interpret, stats, x2, kernel):
+    outs = _l1(stride, tile, t1, interpret, stats, x2, kernel)
     return outs, (x2, kernel)
 
 
-def _l1_bwd(stride, tile, t1, interpret, res, cots):
+def _l1_bwd(stride, tile, t1, interpret, stats, res, cots):
     x2, kernel = res
     k = kernel.shape[0]
     w = _pack_w(kernel, stride, x2.dtype)
-    dy, ds1, ds2 = cots
-    dw = _run_bwd(tile, t1, interpret, x2, w, dy.astype(x2.dtype), ds1, ds2)
+    if stats:
+        dy, ds1, ds2 = cots
+    else:
+        dy = cots
+        B, C = x2.shape[0], kernel.shape[2]
+        ds1 = ds2 = jnp.zeros((B, C), jnp.float32)
+    dw = _run_bwd(tile, t1, interpret, x2, w, dy.astype(x2.dtype), ds1, ds2,
+                  stats=stats)
     # unpack (2, 8, C) -> (k, 1, C) nn.Conv layout
     dkernel = jnp.concatenate(
         [dw[0, :stride], dw[1, : k - stride]], axis=0
@@ -255,6 +274,7 @@ def l1_conv_with_stats(
     dtype=jnp.bfloat16,
     tile: int = 1024,
     interpret: bool = False,
+    with_stats: bool = True,
 ):
     """Fused first-layer conv + GroupNorm statistics.
 
@@ -270,5 +290,8 @@ def l1_conv_with_stats(
     nt = pl.cdiv(t1, tile)
     R = nt * tile
     x2 = _collapse(wav, stride, R + 1, dtype)
-    y1, s1, s2 = _l1(stride, tile, t1, interpret, x2, kernel)
-    return y1, s1, s2, t1
+    if with_stats:
+        y1, s1, s2 = _l1(stride, tile, t1, interpret, True, x2, kernel)
+        return y1, s1, s2, t1
+    y1 = _l1(stride, tile, t1, interpret, False, x2, kernel)
+    return y1, None, None, t1
